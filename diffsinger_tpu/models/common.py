@@ -1,0 +1,219 @@
+"""Shared neural building blocks (Flax linen, [B, T, C] layouts, explicit masks).
+
+Behavioral parity targets (reference: modules/commons/common_layers.py):
+  * ``SinusoidalPositionalEmbedding`` (:88) — fairseq-style pad-aware positions,
+    sin|cos concatenated (not interleaved), zero row at padding_idx.
+  * ``RelPositionalEncoding`` (modules/commons/espnet_positional_embedding.py:89) —
+    ESPnet legacy "relative" encoding: reversed absolute positions, interleaved
+    sin/cos, input scaled by sqrt(d).
+  * ``MultiheadAttention`` (:166) — fairseq attention, no qkv/out bias in EncSALayer.
+  * ``TransformerFFNLayer`` (:486) — conv(k)->*k^-0.5 -> act -> dropout -> linear.
+  * ``EncSALayer`` (:542) — pre-LN self-attn + conv-FFN with padding-mask multiplies.
+
+Everything here is a pure function of (params, inputs, masks); no globals, no
+dynamic shapes. Attention is plain einsum — XLA maps it onto the MXU and fuses the
+masking/softmax; at T<=2000, d=256 this is bandwidth-trivial on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# big-negative mask value (matches reference's -1e9 masked_fill)
+NEG_INF = -1e9
+
+
+def fairseq_sinusoidal_table(num_embeddings: int, dim: int,
+                             padding_idx: int = 0) -> np.ndarray:
+    """Sin|cos positional table (reference common_layers.py:105-121)."""
+    half = dim // 2
+    emb = math.log(10000) / (half - 1)
+    freqs = np.exp(np.arange(half, dtype=np.float64) * -emb)
+    pos = np.arange(num_embeddings, dtype=np.float64)[:, None] * freqs[None, :]
+    table = np.concatenate([np.sin(pos), np.cos(pos)], axis=1)
+    if dim % 2 == 1:
+        table = np.concatenate([table, np.zeros((num_embeddings, 1))], axis=1)
+    table[padding_idx] = 0
+    return table.astype(np.float32)
+
+
+def espnet_positional_table(length: int, dim: int, reverse: bool = False) -> np.ndarray:
+    """Interleaved sin/cos table (reference espnet_positional_embedding.py:26-46)."""
+    if reverse:
+        position = np.arange(length - 1, -1, -1.0, dtype=np.float64)[:, None]
+    else:
+        position = np.arange(0, length, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, dim, 2, dtype=np.float64) * -(math.log(10000.0) / dim))
+    table = np.zeros((length, dim))
+    table[:, 0::2] = np.sin(position * div_term)
+    table[:, 1::2] = np.cos(position * div_term)
+    return table.astype(np.float32)
+
+
+def make_positions(tokens: jnp.ndarray, padding_idx: int = 0) -> jnp.ndarray:
+    """Position ids counting only non-pad tokens, offset by padding_idx+1
+    (reference utils/__init__.py:145-161)."""
+    mask = (tokens != padding_idx).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + padding_idx
+
+
+class SinusoidalPositionalEmbedding(nn.Module):
+    """Pad-aware sinusoidal positions for token/frame sequences."""
+
+    dim: int
+    padding_idx: int = 0
+    init_size: int = 4096
+
+    @nn.compact
+    def __call__(self, tokens_or_mask: jnp.ndarray) -> jnp.ndarray:
+        """tokens_or_mask: int tokens [B, T] (0=pad) or any [B, T] array whose
+        nonzero entries mark real positions (reference passes ``x[..., 0]``)."""
+        seq_len = tokens_or_mask.shape[1]
+        table = jnp.asarray(
+            fairseq_sinusoidal_table(max(self.init_size, seq_len + self.padding_idx + 1),
+                                     self.dim, self.padding_idx))
+        positions = make_positions(tokens_or_mask, self.padding_idx)
+        return jax.lax.stop_gradient(table[positions])
+
+
+class RelPositionalEncoding(nn.Module):
+    """ESPnet legacy rel-pos: x*sqrt(d) + reversed-position table
+    (reference espnet_positional_embedding.py:89-112; dropout_rate=0 in encoder use)."""
+
+    dim: int
+    max_len: int = 4096
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        seq_len = x.shape[1]
+        table = jnp.asarray(espnet_positional_table(seq_len, self.dim, reverse=True))
+        return x * math.sqrt(self.dim) + table[None]
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Fairseq-style MHA (self-attention, no biases) on [B, T, C]."""
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, key_padding_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        b, t, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv = nn.Dense(3 * c, use_bias=False, name="in_proj",
+                       kernel_init=nn.initializers.xavier_uniform())(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
+        k = k.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if key_padding_mask is not None:
+            # key_padding_mask: [B, T] True where PAD
+            scores = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, scores)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+        return nn.Dense(c, use_bias=False, name="out_proj",
+                        kernel_init=nn.initializers.xavier_uniform())(out)
+
+
+class ConvFFN(nn.Module):
+    """Conv1d(k) FFN with the reference's k^-0.5 post-conv scaling
+    (reference common_layers.py:486-520)."""
+
+    hidden_size: int
+    filter_size: int
+    kernel_size: int = 9
+    dropout: float = 0.0
+    act: str = "gelu"
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.padding == "SAME":
+            pad = [(self.kernel_size // 2, (self.kernel_size - 1) // 2)]
+        else:  # LEFT (causal)
+            pad = [(self.kernel_size - 1, 0)]
+        x = nn.Conv(self.filter_size, (self.kernel_size,), padding=pad, name="ffn_1")(x)
+        x = x * self.kernel_size ** -0.5
+        if self.act == "gelu":
+            x = jax.nn.gelu(x, approximate=False)
+        elif self.act == "relu":
+            x = jax.nn.relu(x)
+        elif self.act == "swish":
+            x = jax.nn.silu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.hidden_size, name="ffn_2",
+                     kernel_init=nn.initializers.xavier_uniform())(x)
+        return x
+
+
+class EncSALayer(nn.Module):
+    """Pre-LN transformer encoder layer with conv-FFN and hard padding zeroing
+    (reference common_layers.py:542-589)."""
+
+    hidden_size: int
+    num_heads: int
+    dropout: float
+    kernel_size: int = 9
+    act: str = "gelu"
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, padding_mask: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """x: [B, T, C]; padding_mask: [B, T] True where PAD."""
+        nonpad = (~padding_mask).astype(x.dtype)[:, :, None]
+        if self.num_heads > 0:
+            residual = x
+            x = nn.LayerNorm(name="layer_norm1")(x)
+            x = MultiHeadSelfAttention(self.hidden_size, self.num_heads, name="self_attn")(
+                x, key_padding_mask=padding_mask, deterministic=deterministic)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = (residual + x) * nonpad
+        residual = x
+        x = nn.LayerNorm(name="layer_norm2")(x)
+        x = ConvFFN(self.hidden_size, 4 * self.hidden_size, self.kernel_size,
+                    dropout=self.dropout, act=self.act, padding=self.padding,
+                    name="ffn")(x, deterministic=deterministic)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = (residual + x) * nonpad
+        return x
+
+
+def embedding_init(key, shape, dtype=jnp.float32):
+    """N(0, d^-0.5) embedding init (reference common_layers.py:62-68); caller zeroes
+    the pad row via the Embed wrapper below."""
+    dim = shape[-1]
+    return jax.random.normal(key, shape, dtype) * (dim ** -0.5)
+
+
+class Embedding(nn.Module):
+    """Embedding with zeroed padding row (reference common_layers.py:62-68)."""
+
+    num_embeddings: int
+    dim: int
+    padding_idx: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        table = self.param("embedding", embedding_init, (self.num_embeddings, self.dim))
+        if self.padding_idx is not None:
+            table = table.at[self.padding_idx].set(0.0)
+        return jnp.take(table, ids, axis=0)
+
+
+def xavier_dense(features: int, use_bias: bool = True, name: Optional[str] = None):
+    """Linear with xavier-uniform kernel / zero bias (reference common_layers.py:80-85)."""
+    return nn.Dense(features, use_bias=use_bias, name=name,
+                    kernel_init=nn.initializers.xavier_uniform())

@@ -1,0 +1,86 @@
+"""Device mesh + sharding policy.
+
+Replaces the reference's DDP/NCCL runtime (reference utils/pl_utils.py:180-312,
+tasks/base_task.py:277-291 — mp.spawn per GPU, nccl all-reduce, batch sliced
+``x[rank::world]``) with the TPU-native equivalent: one process per host,
+``jax.make_mesh`` over all chips, batches sharded along a ``data`` axis with
+NamedSharding, parameters replicated (or sharded along ``model`` for tensor
+parallelism), and XLA inserting the gradient ``psum`` over ICI during ``jit``.
+
+Axes:
+  * ``data``  — batch dimension; gradients mean-reduced across it by jit.
+  * ``model`` — optional tensor-parallel axis for the denoiser/vocoder channel
+    dimensions when a model exceeds one chip's HBM (stretch goal per SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_model
+    assert num_data * num_model == len(devices), (
+        f"mesh {num_data}x{num_model} != {len(devices)} devices")
+    dev_array = np.asarray(devices).reshape(num_data, num_model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis split over ``data``; everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Place numpy batch arrays on the mesh, batch-axis sharded.
+
+    Host-local batches from multiple processes are assembled with
+    ``jax.make_array_from_process_local_data`` (multi-host); single-process
+    falls back to ``device_put``.
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            return x
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return {k: put(v) for k, v in batch.items()}
+
+
+def pad_batch_for_sharding(batch: Dict[str, Any], multiple: int) -> Dict[str, Any]:
+    """Right-pad the batch dimension to a multiple of the data-axis size.
+
+    The reference *drops* non-divisible batches (tasks/tts/tts.py:85-88);
+    padding with zero rows (txt_tokens all pad -> fully masked) keeps every
+    sample and stays shape-static.
+    """
+    first = next(v for v in batch.values() if isinstance(v, np.ndarray))
+    b = first.shape[0]
+    target = ((b + multiple - 1) // multiple) * multiple
+    if target == b:
+        return batch
+    pad_n = target - b
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == b:
+            pad_width = [(0, pad_n)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, pad_width)
+        else:
+            out[k] = v
+    out["nsamples"] = b  # true count for loss normalization / logging
+    return out

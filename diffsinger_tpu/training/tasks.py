@@ -1,0 +1,415 @@
+"""Task layer: experiment definitions joining model, data, losses and inference.
+
+Capability parity with the reference task classes (SURVEY.md §2.4):
+  * ``fs2``       — FastSpeech2Task (tasks/tts/fs2.py): mel l1/ssim + dur + pitch
+                    + energy losses.
+  * ``diff``      — DiffSpeechTask / DiffSingerTask / DiffSingerOfflineTask
+                    (usr/diffspeech_task.py, usr/diffsinger_task.py:30-234):
+                    diffusion mel loss + dur/pitch/energy; fs2 conditioner frozen
+                    entirely (fs2_ckpt, DiffSinger) or except predictors
+                    (DiffSpeech).
+  * ``midi``      — DiffSingerMIDITask (usr/diffsinger_task.py:273-389): MIDI
+                    encoder inputs, word-boundary dur loss, switch_midi2f0_step
+                    curriculum.
+  * ``aux_midi``  — AuxDecoderMIDITask (usr/diffsinger_task.py:392-490).
+  * ``pe``        — PitchExtractionTask (tasks/tts/pe.py:101-155).
+
+Everything is expressed as pure functions over a params pytree
+``{"fs2": ..., "denoiser": ...}``; the reference's requires_grad freezing becomes
+an optax trainable-mask over param paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsinger_tpu.models.diffnet import DiffNet
+from diffsinger_tpu.models.diffusion import DiffusionConfig, GaussianDiffusion
+from diffsinger_tpu.models.fs2 import FS2Config, FastSpeech2
+from diffsinger_tpu.models.pe import PEConfig, PitchExtractor
+from diffsinger_tpu.training import losses as L
+from diffsinger_tpu.utils.pitch import denorm_f0
+
+
+def _spk_input(hp, batch):
+    return batch.get("spk_ids") if hp.get("use_spk_id") else batch.get("spk_embed")
+
+
+def make_is_sil(txt_tokens: jnp.ndarray, sil_ids: Tuple[int, ...]) -> jnp.ndarray:
+    if not sil_ids:
+        return jnp.zeros_like(txt_tokens, jnp.float32)
+    sil = jnp.asarray(sil_ids)
+    return (txt_tokens[:, :, None] == sil[None, None, :]).any(-1).astype(jnp.float32)
+
+
+def path_contains(path: Tuple, needle: str) -> bool:
+    return any(needle in str(k) for k in path)
+
+
+def trainable_mask(params, rule: Callable[[Tuple], bool]):
+    """Map each param path to True (train) / False (freeze)."""
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {p: bool(rule(p)) for p in flat}
+    return flax.traverse_util.unflatten_dict(mask)
+
+
+@dataclasses.dataclass
+class TaskModules:
+    hp: Dict[str, Any]
+    fs2: FastSpeech2
+    diffnet: Optional[DiffNet]
+    gd: Optional[GaussianDiffusion]
+    pe: Optional[PitchExtractor] = None
+
+
+def build_modules(hp: Dict[str, Any], vocab_size: int) -> TaskModules:
+    fs2_cfg = FS2Config.from_hparams(hp, vocab_size)
+    fs2 = FastSpeech2(fs2_cfg)
+    diffnet = gd = None
+    task = hp.get("task_type", "diff")
+    if task in ("diff", "midi"):
+        decoder_type = hp.get("diff_decoder_type", "wavenet")
+        if decoder_type == "wavenet":
+            diffnet = DiffNet(
+                in_dims=int(hp.get("audio_num_mel_bins", 80)),
+                encoder_hidden=int(hp["hidden_size"]),
+                residual_layers=int(hp.get("residual_layers", 20)),
+                residual_channels=int(hp.get("residual_channels", 256)),
+                dilation_cycle_length=int(hp.get("dilation_cycle_length", 1)))
+        else:
+            raise NotImplementedError(f"diff_decoder_type={decoder_type}")
+        dcfg = DiffusionConfig.from_hparams(hp)
+
+        def denoise_fn(params, x, t, cond):
+            return diffnet.apply({"params": params}, x, t, cond)
+
+        gd = GaussianDiffusion(dcfg, denoise_fn)
+    return TaskModules(hp=hp, fs2=fs2, diffnet=diffnet, gd=gd)
+
+
+class DiffSingerTask:
+    """Diffusion text/MIDI-to-mel task (covers DiffSpeech, DiffSinger, MIDI
+    variants via hparams, like the reference's class family does via subclassing)."""
+
+    def __init__(self, hp: Dict[str, Any], vocab_size: int,
+                 sil_ids: Tuple[int, ...] = ()):
+        hp = dict(hp)
+        hp.setdefault("task_type", "midi" if hp.get("use_midi") else "diff")
+        self.hp = hp
+        self.m = build_modules(hp, vocab_size)
+        self.sil_ids = tuple(sil_ids)
+        self.use_midi = bool(hp.get("use_midi", False))
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, rng: jax.Array, batch: Dict[str, np.ndarray]):
+        hp = self.hp
+        fs2_rng, dn_rng = jax.random.split(rng)
+        kwargs = self._fs2_kwargs(batch)
+        fs2_vars = self.m.fs2.init(fs2_rng, jnp.asarray(batch["txt_tokens"]),
+                                   mel2ph=jnp.asarray(batch["mel2ph"]),
+                                   skip_decoder=False, **kwargs)
+        b, t_mel, m = batch["mels"].shape
+        dn_vars = self.m.diffnet.init(
+            dn_rng, jnp.zeros((b, t_mel, m)), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b, t_mel, hp["hidden_size"])))
+        return {"fs2": fs2_vars["params"], "denoiser": dn_vars["params"]}
+
+    def _fs2_kwargs(self, batch) -> Dict[str, Any]:
+        kw = {}
+        if self.use_midi:
+            kw["pitch_midi"] = jnp.asarray(batch["pitch_midi"])
+            if batch.get("midi_dur") is not None:
+                kw["midi_dur"] = jnp.asarray(batch["midi_dur"])
+            if batch.get("is_slur") is not None:
+                kw["is_slur"] = jnp.asarray(batch["is_slur"])
+        spk = _spk_input(self.hp, batch)
+        if spk is not None:
+            kw["spk_embed"] = jnp.asarray(spk)
+        return kw
+
+    # ------------------------------------------------------------------ loss
+    def train_loss(self, params, batch, rng, global_step=None,
+                   deterministic: bool = False, use_gt_f0: bool = True):
+        """Returns (total_loss, loss_dict). Mirrors run_model of the reference
+        tasks (usr/diffspeech_task.py:48-78, usr/diffsinger_task.py:273-314).
+
+        ``use_gt_f0`` implements the switch_midi2f0_step curriculum
+        (usr/diffsinger_task.py:284-289) as a *static* flag the trainer flips
+        once when global_step crosses the threshold (one recompile).
+        """
+        hp = self.hp
+        txt_tokens = jnp.asarray(batch["txt_tokens"])
+        target = jnp.asarray(batch["mels"])
+        mel2ph = jnp.asarray(batch["mel2ph"])
+        f0 = jnp.asarray(batch["f0"])
+        uv = jnp.asarray(batch["uv"])
+        energy = jnp.asarray(batch["energy"])
+
+        rng, drop_rng, t_rng, noise_rng = jax.random.split(rng, 4)
+        fs2_kwargs = self._fs2_kwargs(batch)
+
+        f0_in, uv_in = (f0, uv) if use_gt_f0 else (None, None)
+        if hp.get("pitch_type") == "cwt":
+            cwt_spec = jnp.asarray(batch["cwt_spec"])
+            f0_mean = jnp.asarray(batch["f0_mean"])
+            f0_std = jnp.asarray(batch["f0_std"])
+        losses: Dict[str, jnp.ndarray] = {}
+
+        def fs2_forward(fs2_params):
+            variables = {"params": fs2_params}
+            if hp.get("pitch_type") == "cwt":
+                # f0 target derived from gt cwt (reference fs2.py task :121-123)
+                f0_cwt = self.m.fs2.apply(variables, cwt_spec, f0_mean, f0_std,
+                                          method=FastSpeech2.cwt2f0_norm)
+                f0_use = f0_cwt
+            else:
+                f0_use = f0_in
+            return self.m.fs2.apply(
+                variables, txt_tokens, mel2ph=mel2ph, f0=f0_use, uv=uv_in,
+                energy=energy if hp.get("use_energy_embed") else None,
+                skip_decoder=True, deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": drop_rng},
+                **fs2_kwargs)
+
+        ret = fs2_forward(params["fs2"])
+        cond = ret["decoder_inp"]
+
+        b = txt_tokens.shape[0]
+        t = jax.random.randint(t_rng, (b,), 0, self.m.gd.cfg.k_step)
+        noise = jax.random.normal(noise_rng, target.shape)
+        losses["mel"] = self.m.gd.training_loss(params["denoiser"], target, t, cond,
+                                                noise)
+
+        self._aux_losses(losses, ret, batch, txt_tokens, mel2ph, f0, uv, energy)
+        total = sum(losses.values())
+        return total, losses
+
+    def _aux_losses(self, losses, ret, batch, txt_tokens, mel2ph, f0, uv, energy):
+        hp = self.hp
+        if self.use_midi:
+            L.midi_duration_loss(
+                losses, ret["dur"], mel2ph, txt_tokens,
+                jnp.asarray(batch["word_boundary"]),
+                lambda_ph_dur=hp.get("lambda_ph_dur", 1.0),
+                lambda_word_dur=hp.get("lambda_word_dur", 1.0),
+                lambda_sent_dur=hp.get("lambda_sent_dur", 1.0))
+        else:
+            is_sil = make_is_sil(txt_tokens, self.sil_ids)
+            L.duration_losses(losses, ret["dur"], mel2ph, txt_tokens, is_sil,
+                              lambda_ph_dur=hp.get("lambda_ph_dur", 1.0),
+                              lambda_word_dur=hp.get("lambda_word_dur", 1.0),
+                              lambda_sent_dur=hp.get("lambda_sent_dur", 1.0))
+        if hp.get("use_pitch_embed"):
+            nonpadding = (mel2ph != 0).astype(jnp.float32)
+            if hp.get("pitch_type") == "cwt":
+                L.cwt_pitch_loss(losses, ret, jnp.asarray(batch["cwt_spec"]),
+                                 jnp.asarray(batch["f0_mean"]),
+                                 jnp.asarray(batch["f0_std"]), uv, nonpadding,
+                                 use_uv=hp.get("use_uv", True),
+                                 cwt_loss=hp.get("cwt_loss", "l1"),
+                                 lambda_f0=hp.get("lambda_f0", 1.0),
+                                 lambda_uv=hp.get("lambda_uv", 1.0))
+            elif hp.get("pitch_type") == "ph":
+                L.ph_pitch_loss(losses, ret["pitch_pred"], jnp.asarray(batch["f0"]),
+                                txt_tokens, pitch_loss=hp.get("pitch_loss", "l1"),
+                                lambda_f0=hp.get("lambda_f0", 1.0))
+            else:
+                L.f0_loss(losses, ret["pitch_pred"], f0, uv, nonpadding,
+                          use_uv=hp.get("use_uv", True),
+                          pitch_loss=hp.get("pitch_loss", "l1"),
+                          lambda_f0=hp.get("lambda_f0", 1.0),
+                          lambda_uv=hp.get("lambda_uv", 1.0))
+        if hp.get("use_energy_embed"):
+            L.energy_loss(losses, ret["energy_pred"], energy,
+                          lambda_energy=hp.get("lambda_energy", 0.1))
+
+    # ------------------------------------------------------------------ infer
+    def inference(self, params, batch, rng, t_mel: Optional[int] = None,
+                  use_gt_dur: bool = True, use_gt_f0: bool = False):
+        """Diffusion inference (reference GaussianDiffusion.forward infer branch
+        :248-275): full FS2 forward -> fs2_mel boost (or gaussian start) ->
+        reverse scan -> denorm + mel2ph masking."""
+        hp = self.hp
+        txt_tokens = jnp.asarray(batch["txt_tokens"])
+        mel2ph = jnp.asarray(batch["mel2ph"]) if use_gt_dur and \
+            batch.get("mel2ph") is not None else None
+        f0 = jnp.asarray(batch["f0"]) if use_gt_f0 else None
+        uv = jnp.asarray(batch["uv"]) if use_gt_f0 else None
+        if t_mel is None:
+            t_mel = int(batch["mels"].shape[1]) if batch.get("mels") is not None \
+                else int(hp["max_frames"])
+        ret = self.m.fs2.apply(
+            {"params": params["fs2"]}, txt_tokens, mel2ph=mel2ph, f0=f0, uv=uv,
+            skip_decoder=False, infer=True, t_mel=t_mel, **self._fs2_kwargs(batch))
+        cond = ret["decoder_inp"]
+        fs2_mel = ret["mel_out"]
+        ret["fs2_mel"] = fs2_mel
+        tgt_nonpadding = (ret["mel2ph"] > 0).astype(jnp.float32)
+        ret["mel_out"] = self.m.gd.sample(params["denoiser"], cond, rng,
+                                          fs2_mel=fs2_mel,
+                                          tgt_nonpadding=tgt_nonpadding)
+        return ret
+
+    # ------------------------------------------------------------------ freeze
+    def trainable_rule(self) -> Callable[[Tuple], bool]:
+        """Freezing policy (reference usr/diffspeech_task.py:33-38 freezes all
+        non-predictor FS2 params; usr/diffsinger_task.py:60-64 freezes all of
+        FS2). Active only when warm-started from fs2_ckpt."""
+        hp = self.hp
+        if not hp.get("fs2_ckpt"):
+            return lambda path: True
+        freeze_all_fs2 = bool(hp.get("freeze_fs2_all",
+                                     hp.get("task_cls", "").find("DiffSpeech") < 0))
+        def rule(path):
+            if path[0] != "fs2":
+                return True
+            if freeze_all_fs2:
+                return False
+            return path_contains(path, "predictor")
+        return rule
+
+
+class FastSpeech2Task:
+    """Aux/FFT-Singer task (reference tasks/tts/fs2.py + AuxDecoderMIDITask)."""
+
+    def __init__(self, hp: Dict[str, Any], vocab_size: int,
+                 sil_ids: Tuple[int, ...] = ()):
+        hp = dict(hp)
+        hp["task_type"] = "fs2"
+        self.hp = hp
+        self.m = build_modules(hp, vocab_size)
+        self.sil_ids = tuple(sil_ids)
+        self.use_midi = bool(hp.get("use_midi", False))
+        self._diff = DiffSingerTask.__new__(DiffSingerTask)  # reuse helpers
+        self._diff.hp = hp
+        self._diff.use_midi = self.use_midi
+        self._diff.sil_ids = self.sil_ids
+        self._diff.m = self.m
+
+    def init_params(self, rng, batch):
+        fs2_vars = self.m.fs2.init(rng, jnp.asarray(batch["txt_tokens"]),
+                                   mel2ph=jnp.asarray(batch["mel2ph"]),
+                                   **self._diff._fs2_kwargs(batch))
+        return {"fs2": fs2_vars["params"]}
+
+    def train_loss(self, params, batch, rng, global_step=0,
+                   deterministic: bool = False):
+        hp = self.hp
+        txt_tokens = jnp.asarray(batch["txt_tokens"])
+        target = jnp.asarray(batch["mels"])
+        mel2ph = jnp.asarray(batch["mel2ph"])
+        f0 = jnp.asarray(batch["f0"])
+        uv = jnp.asarray(batch["uv"])
+        energy = jnp.asarray(batch["energy"])
+        rng, drop_rng = jax.random.split(rng)
+        variables = {"params": params["fs2"]}
+        if hp.get("pitch_type") == "cwt":
+            f0_use = self.m.fs2.apply(variables, jnp.asarray(batch["cwt_spec"]),
+                                      jnp.asarray(batch["f0_mean"]),
+                                      jnp.asarray(batch["f0_std"]),
+                                      method=FastSpeech2.cwt2f0_norm)
+        else:
+            f0_use = f0
+        ret = self.m.fs2.apply(
+            variables, txt_tokens, mel2ph=mel2ph, f0=f0_use, uv=uv,
+            energy=energy if hp.get("use_energy_embed") else None,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": drop_rng},
+            **self._diff._fs2_kwargs(batch))
+        losses: Dict[str, jnp.ndarray] = {}
+        L.add_mel_losses(losses, ret["mel_out"], target,
+                         hp.get("mel_loss", "l1"))
+        self._diff._aux_losses(losses, ret, batch, txt_tokens, mel2ph, f0, uv,
+                               energy)
+        total = sum(losses.values())
+        return total, losses
+
+    def inference(self, params, batch, rng, t_mel=None, use_gt_dur=True,
+                  use_gt_f0=False):
+        hp = self.hp
+        txt_tokens = jnp.asarray(batch["txt_tokens"])
+        mel2ph = jnp.asarray(batch["mel2ph"]) if use_gt_dur and \
+            batch.get("mel2ph") is not None else None
+        f0 = jnp.asarray(batch["f0"]) if use_gt_f0 else None
+        uv = jnp.asarray(batch["uv"]) if use_gt_f0 else None
+        if t_mel is None:
+            t_mel = int(batch["mels"].shape[1]) if batch.get("mels") is not None \
+                else int(hp["max_frames"])
+        return self.m.fs2.apply({"params": params["fs2"]}, txt_tokens,
+                                mel2ph=mel2ph, f0=f0, uv=uv, infer=True,
+                                t_mel=t_mel, **self._diff._fs2_kwargs(batch))
+
+    def trainable_rule(self):
+        return lambda path: True
+
+
+class PitchExtractionTask:
+    """PE training (reference tasks/tts/pe.py:101-155): frame pitch loss only."""
+
+    def __init__(self, hp: Dict[str, Any], vocab_size: int = 0, sil_ids=()):
+        self.hp = dict(hp)
+        self.pe = PitchExtractor(PEConfig.from_hparams(hp))
+
+    def init_params(self, rng, batch):
+        variables = self.pe.init(rng, jnp.asarray(batch["mels"]), train=True)
+        return {"pe": variables["params"], "batch_stats": variables.get(
+            "batch_stats", {})}
+
+    def train_loss(self, params, batch, rng, global_step=0,
+                   deterministic: bool = False):
+        hp = self.hp
+        mels = jnp.asarray(batch["mels"])
+        f0 = jnp.asarray(batch["f0"])
+        uv = jnp.asarray(batch["uv"])
+        mel2ph = jnp.asarray(batch["mel2ph"])
+        variables = {"params": params["pe"], "batch_stats": params["batch_stats"]}
+        ret, updates = self.pe.apply(variables, mels, train=True,
+                                     mutable=["batch_stats"],
+                                     rngs={"dropout": rng})
+        losses: Dict[str, jnp.ndarray] = {}
+        nonpadding = (mel2ph != 0).astype(jnp.float32)
+        L.f0_loss(losses, ret["pitch_pred"], f0, uv, nonpadding,
+                  use_uv=hp.get("use_uv", True),
+                  pitch_loss=hp.get("pitch_loss", "l1"),
+                  lambda_f0=hp.get("lambda_f0", 1.0),
+                  lambda_uv=hp.get("lambda_uv", 1.0))
+        total = sum(losses.values())
+        # BatchNorm running stats ride along as an aux (non-differentiated) output
+        return total, {**losses, "_new_state": updates["batch_stats"]}
+
+    def inference(self, params, batch, rng=None, **kw):
+        variables = {"params": params["pe"], "batch_stats": params["batch_stats"]}
+        return self.pe.apply(variables, jnp.asarray(batch["mels"]), train=False)
+
+    def trainable_rule(self):
+        return lambda path: path[0] != "batch_stats"
+
+
+TASK_REGISTRY = {
+    # reference task_cls dotted paths -> our task classes
+    "tasks.tts.fs2.FastSpeech2Task": FastSpeech2Task,
+    "usr.diffsinger_task.AuxDecoderMIDITask": FastSpeech2Task,
+    "usr.task.DiffFsTask": DiffSingerTask,
+    "usr.diffspeech_task.DiffSpeechTask": DiffSingerTask,
+    "usr.diffsinger_task.DiffSingerTask": DiffSingerTask,
+    "usr.diffsinger_task.DiffSingerOfflineTask": DiffSingerTask,
+    "usr.diffsinger_task.DiffSingerMIDITask": DiffSingerTask,
+    "tasks.tts.pe.PitchExtractionTask": PitchExtractionTask,
+    # short names
+    "fs2": FastSpeech2Task,
+    "diff": DiffSingerTask,
+    "pe": PitchExtractionTask,
+}
+
+
+def build_task(hp: Dict[str, Any], vocab_size: int, sil_ids=()):
+    cls = TASK_REGISTRY.get(hp.get("task_cls", "diff"))
+    if cls is None:
+        raise KeyError(f"unknown task_cls {hp.get('task_cls')}")
+    return cls(hp, vocab_size, sil_ids)

@@ -1,0 +1,266 @@
+"""Training runtime: pjit train loop, checkpointing, validation, logging.
+
+Replaces the reference's vendored PyTorch-Lightning trainer (utils/pl_utils.py,
+1709 LoC) with a small explicit loop (SURVEY.md §7.6):
+  * ``train_step`` = jit(grad + masked-AdamW update) over a ``data``-sharded batch
+    on a device mesh — XLA inserts the gradient psum the reference got from DDP
+    (pl_utils.py:188-312 / NCCL at tasks/base_task.py:291).
+  * gradient accumulation via optax.MultiSteps (pl_utils.py:1582,1616-1635).
+  * checkpoints via Orbax: keep-latest-N + best-by-val_loss, auto-resume from the
+    highest step (pl_utils.py:375-442,690-750; atomic save semantics come from
+    Orbax's tmp-dir + rename, matching _atomic_save:813).
+  * periodic validation every ``val_check_interval`` updates with
+    ``num_sanity_val_steps`` at startup (pl_utils.py:644-660,1491-1496).
+  * TensorBoard scalars via tensorboardX on process 0 (reference
+    tasks/base_task.py:237-241), stdout loss postfix via tqdm.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffsinger_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                          pad_batch_for_sharding, replicated,
+                                          shard_batch)
+from diffsinger_tpu.training.schedules import build_lr_schedule
+from diffsinger_tpu.training.tasks import trainable_mask
+from diffsinger_tpu.utils.misc import MetricsDict
+
+ARRAY_KEYS_EXCLUDE = ("item_name", "text", "nsamples", "id")
+
+
+def _batch_arrays(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    return {k: v for k, v in batch.items()
+            if isinstance(v, np.ndarray) and k not in ARRAY_KEYS_EXCLUDE}
+
+
+def build_optimizer(hp: Dict[str, Any], params, rule) -> optax.GradientTransformation:
+    schedule = build_lr_schedule(hp)
+    tx = optax.adamw(schedule,
+                     b1=float(hp.get("optimizer_adam_beta1", 0.9)),
+                     b2=float(hp.get("optimizer_adam_beta2", 0.98)),
+                     weight_decay=float(hp.get("weight_decay", 0.0)))
+    clip = float(hp.get("clip_grad_norm", 0) or 0)
+    if clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    mask = trainable_mask(params, rule)
+    labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
+    tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    accum = int(hp.get("accumulate_grad_batches", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
+
+
+class Trainer:
+    def __init__(self, hp: Dict[str, Any], task, *, mesh=None,
+                 work_dir: Optional[str] = None):
+        self.hp = hp
+        self.task = task
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.work_dir = work_dir or hp.get("work_dir") or "checkpoints/default"
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.global_step = 0
+        self.params = None
+        self.opt_state = None
+        self.tx = None
+        self._train_step_fn = None
+        self._writer = None
+        self.best_val_loss = float("inf")
+
+    # ------------------------------------------------------------------ setup
+    def initialize(self, sample_batch: Dict[str, Any],
+                   rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            int(self.hp.get("seed", 1234)))
+        batch = _batch_arrays(sample_batch)
+        self.params = self.task.init_params(rng, batch)
+        self.load_warm_start()
+        self.tx = build_optimizer(self.hp, self.params, self.task.trainable_rule())
+        self.opt_state = self.tx.init(self.params)
+        self.restore()  # auto-resume if checkpoints exist
+        self._place()
+        return self.params
+
+    def load_warm_start(self):
+        """fs2_ckpt / pe_ckpt style warm starts (reference utils/__init__.py:178-209
+        via the torch converter, or our own orbax checkpoints)."""
+        from diffsinger_tpu.convert.checkpoint import load_warm_start_params
+
+        self.params = load_warm_start_params(self.hp, self.params)
+
+    def _place(self):
+        sharding = replicated(self.mesh)
+        self.params = jax.device_put(self.params, sharding)
+        self.opt_state = jax.device_put(self.opt_state, sharding)
+
+    # ------------------------------------------------------------------ steps
+    def _make_train_step(self):
+        task, tx = self.task, self.tx
+
+        def train_step(params, opt_state, batch, rng, step):
+            def loss_fn(p):
+                total, losses = task.train_loss(p, batch, rng, global_step=None)
+                new_state = losses.pop("_new_state", None)
+                return total, (losses, new_state)
+
+            (total, (losses, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if new_state is not None and "batch_stats" in params:
+                params = {**params, "batch_stats": new_state}
+            losses["total_loss"] = total
+            losses["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, losses
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def train_step(self, batch: Dict[str, Any], rng: jax.Array):
+        if self._train_step_fn is None:
+            self._train_step_fn = self._make_train_step()
+        arrays = _batch_arrays(batch)
+        arrays = pad_batch_for_sharding(arrays, self.mesh.shape["data"])
+        arrays.pop("nsamples", None)
+        arrays = shard_batch(self.mesh, arrays)
+        self.params, self.opt_state, losses = self._train_step_fn(
+            self.params, self.opt_state, arrays, rng, self.global_step)
+        self.global_step += 1
+        return losses
+
+    def validate(self, batches: Iterator[Dict[str, Any]],
+                 max_batches: Optional[int] = None) -> Dict[str, float]:
+        metrics = MetricsDict()
+        eval_fn = jax.jit(
+            lambda p, b, r: self.task.train_loss(p, b, r, global_step=None,
+                                                 deterministic=True))
+        rng = jax.random.PRNGKey(0)
+        for i, batch in enumerate(batches):
+            if max_batches is not None and i >= max_batches:
+                break
+            arrays = _batch_arrays(batch)
+            arrays = pad_batch_for_sharding(arrays, self.mesh.shape["data"])
+            n = arrays.pop("nsamples", len(next(iter(arrays.values()))))
+            arrays = shard_batch(self.mesh, arrays)
+            total, losses = eval_fn(self.params, arrays, rng)
+            losses.pop("_new_state", None)
+            scalars = {k: float(v) for k, v in losses.items()}
+            scalars["total_loss"] = float(total)
+            metrics.update(scalars, n)
+        return metrics.averages()
+
+    # ------------------------------------------------------------------ ckpt
+    def _ckpt_dir(self) -> str:
+        return os.path.join(os.path.abspath(self.work_dir), "ckpts")
+
+    def save_checkpoint(self, val_loss: Optional[float] = None):
+        import orbax.checkpoint as ocp
+
+        keep = int(self.hp.get("num_ckpt_keep", 3))
+        with ocp.CheckpointManager(
+                self._ckpt_dir(),
+                options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                     create=True)) as mgr:
+            mgr.save(self.global_step, args=ocp.args.PyTreeSave(
+                {"params": self.params, "opt_state": self.opt_state}))
+        if val_loss is not None and val_loss < self.best_val_loss:
+            self.best_val_loss = val_loss
+            np.save(os.path.join(self.work_dir, "best_valid.npy"),
+                    np.asarray([val_loss]))
+
+    def restore(self) -> bool:
+        import orbax.checkpoint as ocp
+
+        d = self._ckpt_dir()
+        if not os.path.isdir(d):
+            return False
+        with ocp.CheckpointManager(d) as mgr:
+            step = mgr.latest_step()
+            if step is None:
+                return False
+            restored = mgr.restore(step, args=ocp.args.PyTreeRestore(
+                {"params": self.params, "opt_state": self.opt_state}))
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.global_step = int(step)
+        best_fn = os.path.join(self.work_dir, "best_valid.npy")
+        if os.path.exists(best_fn):
+            self.best_val_loss = float(np.load(best_fn)[0])
+        print(f"| restored checkpoint at step {step}")
+        return True
+
+    # ------------------------------------------------------------------ logging
+    @property
+    def writer(self):
+        if self._writer is None and jax.process_index() == 0:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(os.path.join(self.work_dir, "tb_logs"))
+        return self._writer
+
+    def log_scalars(self, scalars: Dict[str, float], prefix: str = "train"):
+        w = self.writer
+        if w is None:
+            return
+        for k, v in scalars.items():
+            try:
+                w.add_scalar(f"{prefix}/{k}", float(v), self.global_step)
+            except (TypeError, ValueError):
+                pass
+
+    # ------------------------------------------------------------------ loop
+    def fit(self, train_dataset, valid_dataset=None):
+        """Epoch loop to ``max_updates`` (reference pl_utils.py:1404-1525)."""
+        hp = self.hp
+        max_updates = int(hp.get("max_updates", 160000))
+        val_interval = int(hp.get("val_check_interval", 2000))
+        log_interval = int(hp.get("log_interval", 100))
+        sanity_steps = int(hp.get("num_sanity_val_steps", 5))
+        rng = jax.random.PRNGKey(int(hp.get("seed", 1234)) + jax.process_index())
+
+        first = None
+        for batch in train_dataset.iter_batches(shuffle_batches=True, seed=0):
+            first = batch
+            break
+        assert first is not None, "empty training set"
+        if self.params is None:
+            self.initialize(first)
+
+        if valid_dataset is not None and sanity_steps > 0 and self.global_step == 0:
+            self.validate(valid_dataset.iter_batches(), max_batches=sanity_steps)
+
+        epoch = 0
+        t0 = time.time()
+        while self.global_step < max_updates:
+            for batch in train_dataset.iter_batches(shuffle_batches=True,
+                                                    seed=epoch):
+                rng, step_rng = jax.random.split(rng)
+                losses = self.train_step(batch, step_rng)
+                if self.global_step % log_interval == 0:
+                    scalars = {k: float(v) for k, v in losses.items()}
+                    scalars["lr"] = float(build_lr_schedule(hp)(self.global_step))
+                    scalars["steps_per_sec"] = log_interval / max(
+                        time.time() - t0, 1e-9)
+                    t0 = time.time()
+                    self.log_scalars(scalars)
+                    print(f"| step {self.global_step} " + " ".join(
+                        f"{k}={v:.4f}" for k, v in scalars.items()))
+                if self.global_step % val_interval == 0 and self.global_step > 0:
+                    if valid_dataset is not None:
+                        val = self.validate(valid_dataset.iter_batches())
+                        self.log_scalars(val, prefix="val")
+                        self.save_checkpoint(val.get("total_loss"))
+                    else:
+                        self.save_checkpoint()
+                if self.global_step >= max_updates:
+                    break
+            epoch += 1
+        self.save_checkpoint()

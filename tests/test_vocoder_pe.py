@@ -1,0 +1,79 @@
+"""HiFiGAN generator (incl. NSF + torch ConvTranspose parity) and PitchExtractor."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from diffsinger_tpu.models.hifigan import (HifiGanConfig, HifiGanGenerator,
+                                           conv_transpose_1d, sine_source)
+from diffsinger_tpu.models.pe import PEConfig, PitchExtractor
+
+SMALL = HifiGanConfig(upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+                      upsample_initial_channel=32,
+                      resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+                      audio_sample_rate=16000)
+
+
+def test_conv_transpose_matches_torch(rng):
+    b, t, cin, cout, k, s = 2, 10, 6, 4, 8, 4
+    x = rng.randn(b, t, cin).astype(np.float32)
+    w = rng.randn(cin, cout, k).astype(np.float32)  # torch layout
+    bias = rng.randn(cout).astype(np.float32)
+    pad = (k - s) // 2
+    ref = torch.conv_transpose1d(torch.from_numpy(x.transpose(0, 2, 1)),
+                                 torch.from_numpy(w), torch.from_numpy(bias),
+                                 stride=s, padding=pad).numpy().transpose(0, 2, 1)
+    kernel = jnp.asarray(w.transpose(2, 1, 0))  # [k, out, in]
+    got = np.asarray(conv_transpose_1d(jnp.asarray(x), kernel, jnp.asarray(bias),
+                                       s, pad))
+    assert got.shape == ref.shape == (b, t * s, cout)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_hifigan_shapes(rng):
+    mel = jnp.asarray(rng.randn(2, 20, 80).astype(np.float32))
+    gen = HifiGanGenerator(SMALL)
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    wav = gen.apply(variables, mel)
+    assert wav.shape == (2, 20 * 16)
+    assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+def test_hifigan_nsf(rng):
+    cfg = HifiGanConfig(**{**SMALL.__dict__, "use_pitch_embed": True})
+    mel = jnp.asarray(rng.randn(2, 20, 80).astype(np.float32))
+    f0 = jnp.asarray(rng.uniform(100, 400, (2, 20)).astype(np.float32))
+    gen = HifiGanGenerator(cfg)
+    variables = gen.init(jax.random.PRNGKey(0), mel, f0, jax.random.PRNGKey(1))
+    wav = gen.apply(variables, mel, f0, jax.random.PRNGKey(1))
+    assert wav.shape == (2, 320)
+
+
+def test_sine_source_frequency(rng):
+    sr = 16000
+    f0 = jnp.full((1, sr), 200.0)  # 1 second at 200 Hz
+    sines, uv = sine_source(f0, jax.random.PRNGKey(0), sr, harmonic_num=0,
+                            noise_std=0.0, sine_amp=1.0)
+    assert np.asarray(uv).min() == 1.0
+    sig = np.asarray(sines)[0, :, 0]
+    spec = np.abs(np.fft.rfft(sig))
+    peak_hz = np.argmax(spec) * sr / len(sig)
+    assert abs(peak_hz - 200.0) < 2.0
+    # unvoiced input -> gated to (noise-only, here zero-noise) output
+    sines0, uv0 = sine_source(jnp.zeros((1, 256)), jax.random.PRNGKey(0), sr,
+                              harmonic_num=0, noise_std=0.0, sine_amp=0.0)
+    assert np.abs(np.asarray(sines0)).max() == 0.0
+
+
+def test_pitch_extractor(rng):
+    cfg = PEConfig(hidden_size=32, conv_layers=1)
+    mel = rng.randn(2, 25, 80).astype(np.float32)
+    mel[0, 20:] = 0.0  # padded frames
+    pe = PitchExtractor(cfg)
+    variables = pe.init(jax.random.PRNGKey(0), jnp.asarray(mel))
+    ret = pe.apply(variables, jnp.asarray(mel))
+    assert ret["pitch_pred"].shape == (2, 25, 2)
+    f0 = np.asarray(ret["f0_denorm_pred"])
+    assert f0.shape == (2, 25)
+    assert (f0[0, 20:] == 0).all()  # padding -> zero f0
