@@ -133,10 +133,15 @@ class GriffinLim(BaseVocoder):
 
     def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
         cfg = self.cfg
+        mel = np.asarray(mel)
+        min_frames = cfg.win_length // cfg.hop_size + 2
+        if mel.shape[0] < min_frames:  # too short for an STFT frame: pad
+            mel = np.pad(mel, ((0, min_frames - mel.shape[0]), (0, 0)),
+                         constant_values=mel.min() if mel.size else -5.0)
         basis = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin,
                                cfg.fmax)
         inv_basis = np.linalg.pinv(basis)
-        mag = np.maximum(1e-10, inv_basis @ (10.0 ** np.asarray(mel)).T)  # [F, T]
+        mag = np.maximum(1e-10, inv_basis @ (10.0 ** mel).T)  # [F, T]
         angles = np.exp(2j * np.pi * np.random.RandomState(0).rand(*mag.shape))
         from scipy.signal import istft, stft
 
