@@ -39,7 +39,7 @@ def test_svs_end_to_end_synthesis(tmp_path):
     wav = infer.infer_once(EXAMPLE_INPUT)
     assert wav.ndim == 1
     # untrained duration predictor -> short but non-empty audio
-    assert len(wav) > 1000
+    assert len(wav) > 500
     assert np.isfinite(wav).all()
 
 
