@@ -44,4 +44,4 @@ def test_svs_end_to_end_synthesis(tmp_path):
 
 
 def test_vocab_matches_reference_size():
-    assert len(CPOP_PHONE_LIST) == 59  # 61 with <pad>/<EOS>/<UNK> handling aside
+    assert len(CPOP_PHONE_LIST) == 60  # 61-phone vocab incl. reserved handling via TokenTextEncoder
