@@ -185,6 +185,30 @@ class FastSpeechDataset:
             yield self.collater([self[i] for i in batch_idx])
 
 
+class ShallowDiffusionOfflineDataset(FastSpeechDataset):
+    """Adds precomputed FFT-Singer boost mels for eval/test splits
+    (reference usr/diffsinger_task.py:102-118: loads
+    ``<fs2_ckpt_dir>/P_mels_npy/<item>.npy``)."""
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        sample = super().__getitem__(index)
+        hp = self.hp
+        if self.prefix != "train" and hp.get("fs2_ckpt"):
+            fs2_dir = os.path.dirname(hp["fs2_ckpt"]) or hp["fs2_ckpt"]
+            fn = os.path.join(fs2_dir, "P_mels_npy",
+                              f"{sample['item_name']}.npy")
+            if os.path.exists(fn):
+                sample["fs2_mel"] = np.load(fn).astype(np.float32)
+        return sample
+
+    def collater(self, samples, pad_to_buckets: bool = True):
+        batch = super().collater(samples, pad_to_buckets)
+        if batch and all("fs2_mel" in s for s in samples):
+            batch["fs2_mels"] = collate_2d([s["fs2_mel"] for s in samples], 0.0,
+                                           batch["mels"].shape[1])
+        return batch
+
+
 class OpencpopDataset(FastSpeechDataset):
     """Adds MIDI features (reference usr/diffsinger_task.py:254-270)."""
 

@@ -221,14 +221,19 @@ class GaussianDiffusion:
 
     def sample(self, params, cond: jnp.ndarray, rng: jax.Array,
                fs2_mel: Optional[jnp.ndarray] = None,
-               tgt_nonpadding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               tgt_nonpadding: Optional[jnp.ndarray] = None,
+               cond_ctx=None) -> jnp.ndarray:
         """Full reverse diffusion as a single lax.scan (reference :248-275).
 
         cond: [B, T, H]; fs2_mel: [B, T, M] un-normalized boost mel (ignored when
-        cfg.gaussian_start). Returns denormalized mel [B, T, M].
+        cfg.gaussian_start). ``cond_ctx`` optionally replaces what is forwarded
+        to ``denoise_fn`` (e.g. precomputed per-layer conditioner projections —
+        step-invariant, so hoisted out of the scan). Returns denormalized mel.
         """
         cfg = self.cfg
         b, t_mel, _ = cond.shape
+        if cond_ctx is None:
+            cond_ctx = cond
         shape = (b, t_mel, cfg.keep_bins)
         k = cfg.k_step
         rng, init_rng = jax.random.split(rng)
@@ -246,8 +251,8 @@ class GaussianDiffusion:
             def plms_body(carry, t_scalar):
                 x, buf, idx = carry
                 t_vec = jnp.full((b,), t_scalar, jnp.int32)
-                x, buf = self.p_sample_plms_step(params, x, t_vec, cond, buf, idx,
-                                                 interval)
+                x, buf = self.p_sample_plms_step(params, x, t_vec, cond_ctx, buf,
+                                                 idx, interval)
                 return (x, buf, idx + 1), None
 
             (x, _, _), _ = jax.lax.scan(
@@ -260,7 +265,7 @@ class GaussianDiffusion:
                 t_scalar, step_rng = inp
                 t_vec = jnp.full((b,), t_scalar, jnp.int32)
                 noise = jax.random.normal(step_rng, shape)
-                return self.p_sample_step(params, x, t_vec, cond, noise), None
+                return self.p_sample_step(params, x, t_vec, cond_ctx, noise), None
 
             x, _ = jax.lax.scan(ddpm_body, x, (jnp.arange(k - 1, -1, -1), step_rngs))
 

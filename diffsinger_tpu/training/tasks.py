@@ -75,18 +75,36 @@ def build_modules(hp: Dict[str, Any], vocab_size: int) -> TaskModules:
     task = hp.get("task_type", "diff")
     if task in ("diff", "midi"):
         decoder_type = hp.get("diff_decoder_type", "wavenet")
+        compute_dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(
+            str(hp.get("compute_dtype", "float32")), None)
         if decoder_type == "wavenet":
             diffnet = DiffNet(
                 in_dims=int(hp.get("audio_num_mel_bins", 80)),
                 encoder_hidden=int(hp["hidden_size"]),
                 residual_layers=int(hp.get("residual_layers", 20)),
                 residual_channels=int(hp.get("residual_channels", 256)),
-                dilation_cycle_length=int(hp.get("dilation_cycle_length", 1)))
+                dilation_cycle_length=int(hp.get("dilation_cycle_length", 1)),
+                compute_dtype=compute_dtype)
+        elif decoder_type == "fft":
+            from diffsinger_tpu.models.fft_denoiser import FFTDenoiser
+
+            diffnet = FFTDenoiser(
+                in_dims=int(hp.get("audio_num_mel_bins", 80)),
+                hidden_size=int(hp["hidden_size"]),
+                residual_channels=int(hp.get("residual_channels", 256)),
+                num_layers=int(hp.get("dec_layers", 4)),
+                ffn_kernel_size=int(hp.get("dec_ffn_kernel_size", 9)),
+                num_heads=int(hp.get("num_heads", 2)),
+                dropout=0.0, compute_dtype=compute_dtype)
         else:
             raise NotImplementedError(f"diff_decoder_type={decoder_type}")
         dcfg = DiffusionConfig.from_hparams(hp)
 
         def denoise_fn(params, x, t, cond):
+            # cond: raw [B, T, H] (training) or precomputed per-layer
+            # projections [L, B, T, 2C] (sampling; see DiffNet.precompute_cond)
+            if cond.ndim == 4:
+                return diffnet.apply({"params": params}, x, t, cond_proj=cond)
             return diffnet.apply({"params": params}, x, t, cond)
 
         gd = GaussianDiffusion(dcfg, denoise_fn)
@@ -244,16 +262,30 @@ class DiffSingerTask:
         if t_mel is None:
             t_mel = int(batch["mels"].shape[1]) if batch.get("mels") is not None \
                 else int(hp["max_frames"])
+        offline = bool(hp.get("offline_boost")) and batch.get("fs2_mels") is not None
         ret = self.m.fs2.apply(
             {"params": params["fs2"]}, txt_tokens, mel2ph=mel2ph, f0=f0, uv=uv,
-            skip_decoder=False, infer=True, t_mel=t_mel, **self._fs2_kwargs(batch))
+            skip_decoder=offline, infer=True, t_mel=t_mel,
+            **self._fs2_kwargs(batch))
         cond = ret["decoder_inp"]
-        fs2_mel = ret["mel_out"]
+        if offline:
+            # OfflineGaussianDiffusion: boost mel precomputed by FFT-Singer
+            # (reference shallow_diffusion_tts.py:291-323)
+            fs2_mel = jnp.asarray(batch["fs2_mels"])
+        else:
+            fs2_mel = ret["mel_out"]
         ret["fs2_mel"] = fs2_mel
         tgt_nonpadding = (ret["mel2ph"] > 0).astype(jnp.float32)
+        # hoist the step-invariant conditioner projections out of the scan
+        # (WaveNet denoiser only; the FFT denoiser consumes cond directly)
+        cond_ctx = None
+        if isinstance(self.m.diffnet, DiffNet):
+            cond_ctx = self.m.diffnet.apply({"params": params["denoiser"]}, cond,
+                                            method=DiffNet.precompute_cond)
         ret["mel_out"] = self.m.gd.sample(params["denoiser"], cond, rng,
                                           fs2_mel=fs2_mel,
-                                          tgt_nonpadding=tgt_nonpadding)
+                                          tgt_nonpadding=tgt_nonpadding,
+                                          cond_ctx=cond_ctx)
         return ret
 
     # ------------------------------------------------------------------ freeze
