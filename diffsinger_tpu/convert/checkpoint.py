@@ -69,6 +69,10 @@ def convert_hifigan(sd: Dict[str, np.ndarray]) -> Dict:
     return tn.to_nested(tn.apply_rules(tn.fold_weight_norm(sd), tn.HIFIGAN_RULES))
 
 
+def convert_pwg(sd: Dict[str, np.ndarray]) -> Dict:
+    return tn.to_nested(tn.apply_rules(tn.fold_weight_norm(sd), tn.PWG_RULES))
+
+
 def convert_pe(sd: Dict[str, np.ndarray]) -> Dict:
     params = tn.to_nested(tn.apply_rules(sd, tn.PE_RULES))
     stats = tn.to_nested(tn.apply_rules(sd, tn.PE_STATS_RULES))

@@ -198,6 +198,50 @@ HIFIGAN_RULES = [
 
 
 # ---------------------------------------------------------------------------
+# ParallelWaveGAN generator (reference parallel_wavegan/models/parallel_wavegan.py)
+# ---------------------------------------------------------------------------
+
+def t_conv2d_up(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d [out=1, in=1, kf, kt] -> HWIO [kf, kt, 1, 1]."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+PWG_RULES = [
+    (r"first_conv\.weight", r"first_conv/kernel", t_conv1d),
+    (r"first_conv\.bias", r"first_conv/bias", None),
+    (r"conv_layers\.(\d+)\.conv\.weight", r"conv_layers_\1/conv/kernel", t_conv1d),
+    (r"conv_layers\.(\d+)\.conv\.bias", r"conv_layers_\1/conv/bias", None),
+    (r"conv_layers\.(\d+)\.conv1x1_aux\.weight",
+     r"conv_layers_\1/conv1x1_aux/kernel", t_conv1d),
+    (r"conv_layers\.(\d+)\.conv1x1_skip\.weight",
+     r"conv_layers_\1/conv1x1_skip/kernel", t_conv1d),
+    (r"conv_layers\.(\d+)\.conv1x1_skip\.bias",
+     r"conv_layers_\1/conv1x1_skip/bias", None),
+    (r"conv_layers\.(\d+)\.conv1x1_out\.weight",
+     r"conv_layers_\1/conv1x1_out/kernel", t_conv1d),
+    (r"conv_layers\.(\d+)\.conv1x1_out\.bias",
+     r"conv_layers_\1/conv1x1_out/bias", None),
+    (r"last_conv_layers\.1\.weight", r"last_conv_1/kernel", t_conv1d),
+    (r"last_conv_layers\.1\.bias", r"last_conv_1/bias", None),
+    (r"last_conv_layers\.3\.weight", r"last_conv_3/kernel", t_conv1d),
+    (r"last_conv_layers\.3\.bias", r"last_conv_3/bias", None),
+    (r"upsample_net\.conv_in\.weight", r"upsample_net/conv_in/kernel", t_conv1d),
+    # up_layers: [stretch, conv] per scale -> conv at odd indices 1,3,5,...
+    (r"upsample_net\.upsample\.up_layers\.1\.weight",
+     r"upsample_net/up_conv_0", t_conv2d_up),
+    (r"upsample_net\.upsample\.up_layers\.3\.weight",
+     r"upsample_net/up_conv_1", t_conv2d_up),
+    (r"upsample_net\.upsample\.up_layers\.5\.weight",
+     r"upsample_net/up_conv_2", t_conv2d_up),
+    (r"upsample_net\.upsample\.up_layers\.7\.weight",
+     r"upsample_net/up_conv_3", t_conv2d_up),
+    (r"pitch_embed\.weight", r"pitch_embed/embedding", None),
+    (r"c_proj\.weight", r"c_proj/kernel", t_linear),
+    (r"c_proj\.bias", r"c_proj/bias", None),
+]
+
+
+# ---------------------------------------------------------------------------
 # PitchExtractor (reference modules/fastspeech/pe.py)
 # ---------------------------------------------------------------------------
 

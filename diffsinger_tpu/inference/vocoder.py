@@ -111,16 +111,69 @@ class HifiGAN(BaseVocoder):
 
 @register_vocoder
 class PWG(BaseVocoder):
-    """ParallelWaveGAN wrapper (reference vocoders/pwg.py). Generator port is
-    scheduled for a later round; until then synthesis falls back to Griffin-Lim
-    while ``wav2spec`` (the part the data pipeline depends on) is fully supported."""
+    """ParallelWaveGAN wrapper (reference vocoders/pwg.py:54-122): loads the
+    generator from vocoder_ckpt (torch or official .pkl layout), edge-pads the
+    mel by aux_context_window, z ~ N(0, I) at audio rate. Falls back to
+    Griffin-Lim when no checkpoint is configured."""
 
     def __init__(self, hp):
-        self.hp = hp
-        self._gl = GriffinLim(hp)
+        from diffsinger_tpu.convert.checkpoint import (convert_pwg,
+                                                       find_latest_ckpt,
+                                                       load_torch_state_dict)
+        from diffsinger_tpu.models.pwg import (ParallelWaveGANGenerator,
+                                               PWGConfig)
 
-    def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
-        return self._gl.spec2wav(mel)
+        self.hp = hp
+        self.params = None
+        base_dir = hp.get("vocoder_ckpt", "")
+        cfg_dict = {}
+        if base_dir:
+            config_path = os.path.join(base_dir, "config.yaml")
+            if os.path.exists(config_path):
+                import yaml
+
+                with open(config_path) as f:
+                    cfg_dict = yaml.safe_load(f) or {}
+        self.cfg = PWGConfig.from_config_dict(cfg_dict)
+        self.model = ParallelWaveGANGenerator(self.cfg)
+        ckpt = find_latest_ckpt(base_dir) if base_dir else None
+        if ckpt is None and base_dir:
+            pkls = sorted(glob.glob(os.path.join(base_dir,
+                                                 "checkpoint-*steps.pkl")))
+            ckpt = pkls[-1] if pkls else None
+        if ckpt is not None:
+            sd = load_torch_state_dict(ckpt, prefix="")
+            for key in ("model_gen", "generator", "model"):
+                inner = {k[len(key) + 1:]: v for k, v in sd.items()
+                         if k.startswith(key + ".")}
+                if inner:
+                    sd = inner
+                    break
+            if any(k.startswith("generator.") for k in sd):
+                sd = {k[len("generator."):]: v for k, v in sd.items()
+                      if k.startswith("generator.")}
+            self.params = convert_pwg(sd)
+            print(f"| loaded PWG vocoder from {ckpt}")
+        self._apply = jax.jit(lambda p, z, c, pitch: self.model.apply(
+            {"params": p}, z, c, pitch))
+
+    def spec2wav(self, mel: np.ndarray, f0: Optional[np.ndarray] = None,
+                 **kwargs) -> np.ndarray:
+        if self.params is None:
+            return GriffinLim(self.hp).spec2wav(mel)
+        from diffsinger_tpu.utils.pitch import f0_to_coarse_np
+
+        w = self.cfg.aux_context_window
+        hop = int(self.hp["hop_size"])
+        c = np.pad(np.asarray(mel), ((w, w), (0, 0)), "edge")[None]
+        z = np.asarray(jax.random.normal(jax.random.PRNGKey(0),
+                                         (1, mel.shape[0] * hop)))
+        pitch = None
+        if self.cfg.use_pitch_embed and f0 is not None:
+            pitch = np.pad(f0_to_coarse_np(np.asarray(f0).copy()), (w, w),
+                           "edge")[None]
+        wav = self._apply(self.params, z, c, pitch)
+        return np.asarray(wav)[0]
 
 
 @register_vocoder

@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: fused DiffNet residual stack.
+
+The diffusion sampler's hot loop is the 20-layer gated dilated-conv stack
+(reference usr/diff/net.py:58-78,122-124) executed K times per utterance. This
+kernel runs the WHOLE stack in one ``pallas_call``:
+
+  * grid = (batch_tiles, layers); layers iterate fastest, so the running
+    activation ``x`` and the skip accumulator stay resident in VMEM across all
+    layers — zero HBM round-trips for activations between layers (XLA's layerwise
+    schedule writes x/skip to HBM 2x per layer).
+  * per-layer weights and the (precomputed, step-invariant) conditioner
+    projections stream from HBM, double-buffered by the Pallas pipeline.
+  * the dilated conv (k=3) is expressed as three shifted MXU matmuls
+    [T, C] @ [C, 2C]; the dilation (2^(l % cycle)) is selected by a
+    ``lax.switch`` over the static dilation set.
+
+Layouts: x [B, T, C]; cond_proj [L, B, T, 2C]; step_proj [L, B, C];
+w_dil [L, 3, C, 2C]; w_out [L, C, 2C]. Output = skip sum [B, T, C]
+(the cheap skip/output projections remain in XLA where they fuse with the
+surrounding sampler arithmetic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SQRT_HALF = 0.5 ** 0.5
+
+
+def _shift_t(arr: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """Shift [Bt, T, C] along T with zero fill: out[:, t] = arr[:, t + offset]."""
+    if offset == 0:
+        return arr
+    t = arr.shape[1]
+    if offset > 0:
+        return jnp.pad(arr[:, offset:], ((0, 0), (0, offset), (0, 0)))
+    return jnp.pad(arr[:, : t + offset], ((0, 0), (-offset, 0), (0, 0)))
+
+
+def _make_kernel(dilations: Sequence[int], num_layers: int):
+    dilation_set = sorted(set(dilations))
+
+    def kernel(dil_idx_ref, x0_ref, step_ref, cond_ref, wdil_ref, bdil_ref,
+               wout_ref, bout_ref, out_ref, x_scr, skip_scr):
+        l = pl.program_id(1)
+
+        @pl.when(l == 0)
+        def _():
+            x_scr[:] = x0_ref[:]
+            skip_scr[:] = jnp.zeros_like(skip_scr)
+
+        bt, t, c = x_scr.shape
+        x = x_scr[:]
+        y = x + step_ref[0][:, None, :]  # [Bt, T, C] + [Bt, 1, C]
+        y2 = y.reshape(bt * t, c)
+
+        w0 = wdil_ref[0, 0]
+        w1 = wdil_ref[0, 1]
+        w2 = wdil_ref[0, 2]
+
+        center = jnp.dot(y2, w1, preferred_element_type=jnp.float32)
+
+        def dil_branch(d):
+            def f(_):
+                lo = _shift_t(y, -d).reshape(bt * t, c)   # y[t - d]
+                hi = _shift_t(y, d).reshape(bt * t, c)    # y[t + d]
+                return (jnp.dot(lo, w0, preferred_element_type=jnp.float32)
+                        + jnp.dot(hi, w2, preferred_element_type=jnp.float32))
+            return f
+
+        side = jax.lax.switch(dil_idx_ref[l],
+                              [dil_branch(d) for d in dilation_set], None)
+        conv = (center + side + bdil_ref[0][None, :]
+                + cond_ref[0].reshape(bt * t, -1))
+        gate, filt = jnp.split(conv, 2, axis=-1)
+        g = jax.nn.sigmoid(gate) * jnp.tanh(filt)
+        out = jnp.dot(g, wout_ref[0],
+                      preferred_element_type=jnp.float32) + bout_ref[0][None, :]
+        residual, skip = jnp.split(out, 2, axis=-1)
+        x_scr[:] = (x + residual.reshape(bt, t, c)) * SQRT_HALF
+        skip_scr[:] = skip_scr[:] + skip.reshape(bt, t, c)
+
+        @pl.when(l == num_layers - 1)
+        def _():
+            out_ref[:] = skip_scr[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dilations", "batch_tile", "interpret"))
+def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
+                  cond_proj: jnp.ndarray, w_dil: jnp.ndarray,
+                  b_dil: jnp.ndarray, w_out: jnp.ndarray, b_out: jnp.ndarray,
+                  *, dilations: tuple, batch_tile: int = 2,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Run the fused residual stack.
+
+    x0 [B, T, C] (input-projected + relu'd spec); step_proj [L, B, C];
+    cond_proj [L, B, T, 2C]; w_dil [L, 3, C, 2C]; b_dil [L, 2C];
+    w_out [L, C, 2C]; b_out [L, 2C]. Returns skip sum [B, T, C] (pre 1/sqrt(L)).
+    """
+    bsz, t, c = x0.shape
+    num_layers = w_dil.shape[0]
+    assert len(dilations) == num_layers
+    bt = min(batch_tile, bsz)
+    assert bsz % bt == 0, (bsz, bt)
+    grid = (bsz // bt, num_layers)
+
+    dilation_set = sorted(set(dilations))
+    dil_idx = jnp.asarray([dilation_set.index(d) for d in dilations], jnp.int32)
+    kernel = _make_kernel(dilations, num_layers)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, t, c), lambda b, l, *_: (b, 0, 0)),            # x0
+            pl.BlockSpec((1, bt, c), lambda b, l, *_: (l, b, 0)),            # step
+            pl.BlockSpec((1, bt, t, 2 * c), lambda b, l, *_: (l, b, 0, 0)),  # cond
+            pl.BlockSpec((1, 3, c, 2 * c), lambda b, l, *_: (l, 0, 0, 0)),   # w_dil
+            pl.BlockSpec((1, 2 * c), lambda b, l, *_: (l, 0)),               # b_dil
+            pl.BlockSpec((1, c, 2 * c), lambda b, l, *_: (l, 0, 0)),         # w_out
+            pl.BlockSpec((1, 2 * c), lambda b, l, *_: (l, 0)),               # b_out
+        ],
+        out_specs=pl.BlockSpec((bt, t, c), lambda b, l, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bt, t, c), jnp.float32),
+            pltpu.VMEM((bt, t, c), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, t, c), jnp.float32),
+        interpret=interpret,
+    )(dil_idx, x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out)
+
+
+def diffnet_forward_pallas(params: dict, spec: jnp.ndarray, t: jnp.ndarray,
+                           cond_proj: jnp.ndarray, *, dilations: tuple,
+                           batch_tile: int = 2,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Full DiffNet forward with the fused Pallas stack.
+
+    Equivalent to ``DiffNet.__call__(spec, t, cond_proj=cond_proj)``: the cheap
+    input/step/skip/output projections run in XLA (they fuse with neighbors);
+    the 20-layer gated stack runs in the kernel.
+    """
+    from diffsinger_tpu.models.diffnet import mish, timestep_embedding
+
+    num_layers = len(dilations)
+    c = params["input_projection"]["kernel"].shape[-1]
+    x0 = jax.nn.relu(
+        jnp.einsum("btm,mc->btc", spec, params["input_projection"]["kernel"][0])
+        + params["input_projection"]["bias"])
+    step = timestep_embedding(t, c)
+    step = step @ params["mlp_0"]["kernel"] + params["mlp_0"]["bias"]
+    step = mish(step)
+    step = step @ params["mlp_2"]["kernel"] + params["mlp_2"]["bias"]
+    step_proj = jnp.stack([
+        step @ params[f"step_projection_{i}"]["kernel"]
+        + params[f"step_projection_{i}"]["bias"] for i in range(num_layers)])
+    w_dil, b_dil, w_out, b_out = pack_diffnet_params(params, num_layers)
+    skips = diffnet_stack(x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out,
+                          dilations=dilations, batch_tile=batch_tile,
+                          interpret=interpret)
+    x = skips * (num_layers ** -0.5)
+    x = jax.nn.relu(
+        jnp.einsum("btc,cd->btd", x, params["skip_projection"]["kernel"][0])
+        + params["skip_projection"]["bias"])
+    return (jnp.einsum("btc,cm->btm", x, params["output_projection"]["kernel"][0])
+            + params["output_projection"]["bias"])
+
+
+def pack_diffnet_params(params: dict, num_layers: int):
+    """Stack per-layer DiffNet params into the kernel's [L, ...] layout.
+
+    params: the DiffNet param tree (flax). Returns (w_dil, b_dil, w_out, b_out).
+    Flax conv kernels are [k, in, out]; w_dil keeps [3, C, 2C] per layer.
+    """
+    w_dil = jnp.stack([params[f"residual_{i}"]["dilated_conv"]["kernel"]
+                       for i in range(num_layers)])
+    b_dil = jnp.stack([params[f"residual_{i}"]["dilated_conv"]["bias"]
+                       for i in range(num_layers)])
+    w_out = jnp.stack([params[f"residual_{i}"]["output_projection"]["kernel"][0]
+                       for i in range(num_layers)])
+    b_out = jnp.stack([params[f"residual_{i}"]["output_projection"]["bias"]
+                       for i in range(num_layers)])
+    return w_dil, b_dil, w_out, b_out

@@ -100,10 +100,22 @@ def build_modules(hp: Dict[str, Any], vocab_size: int) -> TaskModules:
             raise NotImplementedError(f"diff_decoder_type={decoder_type}")
         dcfg = DiffusionConfig.from_hparams(hp)
 
+        use_pallas = bool(hp.get("use_pallas_diffnet", False))
+        dilations = tuple(
+            2 ** (i % int(hp.get("dilation_cycle_length", 1)))
+            for i in range(int(hp.get("residual_layers", 20))))
+
         def denoise_fn(params, x, t, cond):
             # cond: raw [B, T, H] (training) or precomputed per-layer
             # projections [L, B, T, 2C] (sampling; see DiffNet.precompute_cond)
             if cond.ndim == 4:
+                if use_pallas and decoder_type == "wavenet" \
+                        and x.shape[0] % 2 == 0:
+                    from diffsinger_tpu.ops.diffnet_stack import \
+                        diffnet_forward_pallas
+
+                    return diffnet_forward_pallas(params, x, t, cond,
+                                                  dilations=dilations)
                 return diffnet.apply({"params": params}, x, t, cond_proj=cond)
             return diffnet.apply({"params": params}, x, t, cond)
 

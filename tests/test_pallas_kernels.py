@@ -1,0 +1,98 @@
+"""Pallas kernel correctness (interpret mode on CPU) vs the Flax DiffNet."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsinger_tpu.models.diffnet import DiffNet, timestep_embedding, mish
+from diffsinger_tpu.ops.diffnet_stack import diffnet_stack, pack_diffnet_params
+
+B, T, M, H, C, L, CYCLE = 4, 32, 8, 12, 16, 6, 2
+
+
+def _setup(rng):
+    net = DiffNet(in_dims=M, encoder_hidden=H, residual_layers=L,
+                  residual_channels=C, dilation_cycle_length=CYCLE)
+    spec = jnp.asarray(rng.randn(B, T, M).astype(np.float32))
+    t = jnp.array([3, 7, 1, 5])
+    cond = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), spec, t, cond)
+    return net, variables["params"], spec, t, cond
+
+
+def _reference_skip_sum(net, params, spec, t, cond):
+    """Skip sum computed through the Flax module internals (pre projections)."""
+    x0 = None
+    # rebuild the pieces: input projection + relu
+    kernel = params["input_projection"]["kernel"]
+    bias = params["input_projection"]["bias"]
+    x = jax.nn.relu(jnp.einsum("btm,kmc->btc", spec, kernel) + bias)
+    step = timestep_embedding(t, C)
+    step = step @ params["mlp_0"]["kernel"] + params["mlp_0"]["bias"]
+    step = mish(step)
+    step = step @ params["mlp_2"]["kernel"] + params["mlp_2"]["bias"]
+    skips = 0
+    for i in range(L):
+        d = 2 ** (i % CYCLE)
+        p = params[f"residual_{i}"]
+        step_i = step @ params[f"step_projection_{i}"]["kernel"] \
+            + params[f"step_projection_{i}"]["bias"]
+        cond_i = jnp.einsum("bth,khc->btc", cond,
+                            params[f"cond_projection_{i}"]["kernel"]) \
+            + params[f"cond_projection_{i}"]["bias"]
+        y = x + step_i[:, None, :]
+        wd = p["dilated_conv"]["kernel"]
+        conv = (jnp.einsum("btc,cd->btd", _shift(y, -d), wd[0])
+                + jnp.einsum("btc,cd->btd", y, wd[1])
+                + jnp.einsum("btc,cd->btd", _shift(y, d), wd[2])
+                + p["dilated_conv"]["bias"]) + cond_i
+        gate, filt = jnp.split(conv, 2, axis=-1)
+        g = jax.nn.sigmoid(gate) * jnp.tanh(filt)
+        out = jnp.einsum("btc,cd->btd", g, p["output_projection"]["kernel"][0]) \
+            + p["output_projection"]["bias"]
+        residual, skip = jnp.split(out, 2, axis=-1)
+        x = (x + residual) * (0.5 ** 0.5)
+        skips = skips + skip
+    return x, skips, step
+
+
+def _shift(y, off):
+    t = y.shape[1]
+    if off == 0:
+        return y
+    if off > 0:
+        return jnp.pad(y[:, off:], ((0, 0), (0, off), (0, 0)))
+    return jnp.pad(y[:, : t + off], ((0, 0), (-off, 0), (0, 0)))
+
+
+def test_diffnet_stack_kernel_matches_module(rng):
+    net, params, spec, t, cond = _setup(rng)
+    want_full = net.apply({"params": params}, spec, t, cond)
+
+    # manual reference pieces (validates the re-derivation too)
+    x_final, skips, step = _reference_skip_sum(net, params, spec, t, cond)
+    out = skips * (L ** -0.5)
+    out = jax.nn.relu(jnp.einsum("btc,kcd->btd", out,
+                                 params["skip_projection"]["kernel"])
+                      + params["skip_projection"]["bias"])
+    out = jnp.einsum("btc,kcd->btd", out, params["output_projection"]["kernel"]) \
+        + params["output_projection"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_full), atol=1e-5)
+
+    # kernel inputs
+    x0 = jax.nn.relu(jnp.einsum("btm,kmc->btc", spec,
+                                params["input_projection"]["kernel"])
+                     + params["input_projection"]["bias"])
+    step_proj = jnp.stack([step @ params[f"step_projection_{i}"]["kernel"]
+                           + params[f"step_projection_{i}"]["bias"]
+                           for i in range(L)])
+    cond_proj = jnp.stack([jnp.einsum("bth,khc->btc", cond,
+                                      params[f"cond_projection_{i}"]["kernel"])
+                           + params[f"cond_projection_{i}"]["bias"]
+                           for i in range(L)])
+    w_dil, b_dil, w_out, b_out = pack_diffnet_params(params, L)
+    dilations = tuple(2 ** (i % CYCLE) for i in range(L))
+
+    got = diffnet_stack(x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out,
+                        dilations=dilations, batch_tile=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(skips), atol=1e-4)
