@@ -216,6 +216,21 @@ class Trainer:
             except (TypeError, ValueError):
                 pass
 
+    def snapshot_code(self):
+        """Copy the framework source into work_dir/codes/<timestamp> for
+        reproducibility (reference tasks/base_task.py:249-255)."""
+        import shutil
+        import time as _time
+
+        if jax.process_index() != 0:
+            return
+        src_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        stamp = _time.strftime("%Y%m%d%H%M%S")
+        dst = os.path.join(self.work_dir, "codes", stamp, "diffsinger_tpu")
+        if not os.path.exists(os.path.join(self.work_dir, "codes")):
+            shutil.copytree(src_root, dst,
+                            ignore=shutil.ignore_patterns("__pycache__", "*.pyc"))
+
     # ------------------------------------------------------------------ loop
     def fit(self, train_dataset, valid_dataset=None):
         """Epoch loop to ``max_updates`` (reference pl_utils.py:1404-1525)."""
@@ -233,6 +248,7 @@ class Trainer:
         assert first is not None, "empty training set"
         if self.params is None:
             self.initialize(first)
+        self.snapshot_code()
 
         if valid_dataset is not None and sanity_steps > 0 and self.global_step == 0:
             self.validate(valid_dataset.iter_batches(), max_batches=sanity_steps)

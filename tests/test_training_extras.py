@@ -1,0 +1,88 @@
+"""Schedules, grad accumulation, gradio sentence splitting, vocoder registry."""
+
+import numpy as np
+
+from diffsinger_tpu.inference.gradio_app import split_sentences
+from diffsinger_tpu.inference.vocoder import GriffinLim, HifiGAN, PWG, get_vocoder_cls
+from diffsinger_tpu.training.schedules import (build_lr_schedule, rsqrt_schedule,
+                                               step_lr_schedule)
+
+
+def test_rsqrt_schedule_matches_reference_formula():
+    """reference utils/training_utils.py:16-24."""
+    sched = rsqrt_schedule(2.0, warmup_updates=8000, hidden_size=256)
+    for step in [0, 1, 100, 4000, 8000, 20000, 160000]:
+        warmup = min(step / 8000, 1.0)
+        want = max(2.0 * warmup * max(8000, step) ** -0.5 * 256 ** -0.5, 1e-7)
+        got = float(sched(step))
+        assert abs(got - want) < 1e-9, (step, got, want)
+
+
+def test_step_lr_schedule():
+    sched = step_lr_schedule(0.001, decay_steps=50000, gamma=0.5)
+    assert abs(float(sched(0)) - 0.001) < 1e-9
+    assert abs(float(sched(49999)) - 0.001) < 1e-9
+    assert abs(float(sched(50000)) - 0.0005) < 1e-9
+    assert abs(float(sched(150000)) - 0.000125) < 1e-9
+
+
+def test_build_lr_schedule_selection():
+    assert abs(float(build_lr_schedule(
+        {"lr": 0.001, "decay_steps": 50000})(50000)) - 0.0005) < 1e-9
+    s = build_lr_schedule({"lr": 2.0, "warmup_updates": 4000,
+                           "hidden_size": 256})
+    assert float(s(1)) < float(s(4000))
+
+
+def test_vocoder_registry():
+    assert get_vocoder_cls({"vocoder": "hifigan"}) is HifiGAN
+    assert get_vocoder_cls({"vocoder": "vocoders.hifigan.HifiGAN"}) is HifiGAN
+    assert get_vocoder_cls({"vocoder": "pwg"}) is PWG
+    assert get_vocoder_cls({"vocoder": "griffinlim"}) is GriffinLim
+
+
+def test_gradio_sentence_split():
+    text = "你好。再见。"
+    notes = "A4 B4。C4 D4。"
+    durs = "0.5 0.5。0.5 0.5。"
+    chunks = split_sentences(text, notes, durs)
+    assert len(chunks) == 1  # small input batches into one chunk
+    s, n, d = chunks[0]
+    assert "你好" in s and "再见" in s
+    # long input splits into multiple chunks
+    long_text = ("好" * 300 + "。") * 3
+    long_notes = ("A4 " * 300 + "。") * 3
+    long_durs = ("0.5 " * 300 + "。") * 3
+    chunks = split_sentences(long_text, long_notes, long_durs)
+    assert len(chunks) >= 2
+
+
+def test_grad_accumulation(tmp_path):
+    import jax
+
+    from diffsinger_tpu.data.dataset import FastSpeechDataset
+    from diffsinger_tpu.parallel.mesh import make_mesh
+    from diffsinger_tpu.training.tasks import build_task
+    from diffsinger_tpu.training.trainer import Trainer
+    from tests.helpers import make_synthetic_dataset, tiny_hparams
+
+    data_dir = make_synthetic_dataset(str(tmp_path / "ds"))
+    hp = tiny_hparams(data_dir, accumulate_grad_batches=2,
+                      work_dir=str(tmp_path / "exp"))
+    ds = FastSpeechDataset(hp, "train")
+    task = build_task(hp, vocab_size=10)
+    trainer = Trainer(hp, task, mesh=make_mesh(num_data=8))
+    batch = next(ds.iter_batches())
+    trainer.initialize(batch)
+    p0 = jax.tree_util.tree_map(np.asarray, trainer.params["denoiser"])
+    trainer.train_step(batch, jax.random.PRNGKey(0))
+    p1 = jax.tree_util.tree_map(np.asarray, trainer.params["denoiser"])
+    # first micro-batch: no optimizer step yet
+    d01 = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), p0, p1)))
+    assert d01 == 0.0
+    trainer.train_step(batch, jax.random.PRNGKey(1))
+    p2 = jax.tree_util.tree_map(np.asarray, trainer.params["denoiser"])
+    d12 = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), p1, p2)))
+    assert d12 > 0.0
