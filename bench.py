@@ -25,6 +25,11 @@ T_MEL = 1024  # frames per utterance; 1024*256/22050 = 11.9 s audio each
 def main():
     import jax
 
+    # persistent compile cache: first round pays ~2-12 min of XLA compile,
+    # later invocations start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import __graft_entry__ as g
     from diffsinger_tpu.training.tasks import build_task
 

@@ -58,7 +58,7 @@ def _make_kernel(dilations: Sequence[int], num_layers: int):
 
         bt, t, c = x_scr.shape
         x = x_scr[:]
-        y = x + step_ref[0][:, None, :]  # [Bt, T, C] + [Bt, 1, C]
+        y = x + step_ref[0]  # [Bt, T, C] + [Bt, 1, C]
         y2 = y.reshape(bt * t, c)
 
         w0 = wdil_ref[0, 0]
@@ -77,12 +77,12 @@ def _make_kernel(dilations: Sequence[int], num_layers: int):
 
         side = jax.lax.switch(dil_idx_ref[l],
                               [dil_branch(d) for d in dilation_set], None)
-        conv = (center + side + bdil_ref[0][None, :]
+        conv = (center + side + bdil_ref[0]
                 + cond_ref[0].reshape(bt * t, -1))
         gate, filt = jnp.split(conv, 2, axis=-1)
         g = jax.nn.sigmoid(gate) * jnp.tanh(filt)
         out = jnp.dot(g, wout_ref[0],
-                      preferred_element_type=jnp.float32) + bout_ref[0][None, :]
+                      preferred_element_type=jnp.float32) + bout_ref[0]
         residual, skip = jnp.split(out, 2, axis=-1)
         x_scr[:] = (x + residual.reshape(bt, t, c)) * SQRT_HALF
         skip_scr[:] = skip_scr[:] + skip.reshape(bt, t, c)
@@ -117,17 +117,22 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
     dilation_set = sorted(set(dilations))
     dil_idx = jnp.asarray([dilation_set.index(d) for d in dilations], jnp.int32)
     kernel = _make_kernel(dilations, num_layers)
+    # Mosaic needs the last two block dims to be (8k, 128k) or equal to the
+    # array dims — reshape the small per-layer tensors accordingly
+    step_proj = step_proj[:, :, None, :]            # [L, B, 1, C]
+    b_dil = b_dil[:, None, :]                       # [L, 1, 2C]
+    b_out = b_out[:, None, :]                       # [L, 1, 2C]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, t, c), lambda b, l, *_: (b, 0, 0)),            # x0
-            pl.BlockSpec((1, bt, c), lambda b, l, *_: (l, b, 0)),            # step
+            pl.BlockSpec((1, bt, 1, c), lambda b, l, *_: (l, b, 0, 0)),      # step
             pl.BlockSpec((1, bt, t, 2 * c), lambda b, l, *_: (l, b, 0, 0)),  # cond
             pl.BlockSpec((1, 3, c, 2 * c), lambda b, l, *_: (l, 0, 0, 0)),   # w_dil
-            pl.BlockSpec((1, 2 * c), lambda b, l, *_: (l, 0)),               # b_dil
+            pl.BlockSpec((1, 1, 2 * c), lambda b, l, *_: (l, 0, 0)),         # b_dil
             pl.BlockSpec((1, c, 2 * c), lambda b, l, *_: (l, 0, 0)),         # w_out
-            pl.BlockSpec((1, 2 * c), lambda b, l, *_: (l, 0)),               # b_out
+            pl.BlockSpec((1, 1, 2 * c), lambda b, l, *_: (l, 0, 0)),         # b_out
         ],
         out_specs=pl.BlockSpec((bt, t, c), lambda b, l, *_: (b, 0, 0)),
         scratch_shapes=[

@@ -62,6 +62,28 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: put(v) for k, v in batch.items()}
 
 
+def param_shardings(params, mesh: Mesh, min_size: int = 1 << 16):
+    """Tensor-parallel placement rule: shard a weight's last axis over the
+    ``model`` mesh axis when divisible and the tensor is large enough;
+    replicate everything else.
+
+    With parameters placed this way, ``jit`` partitions the matmuls and inserts
+    the activation collectives over ICI automatically — the idiomatic
+    XLA/GSPMD path (no hand-written all-reduces). The reference has no tensor
+    parallelism at all (SURVEY.md §2.8); this covers the "model exceeds one
+    chip's HBM" stretch goal.
+    """
+    model_size = mesh.shape["model"]
+
+    def place(x):
+        if (model_size > 1 and hasattr(x, "shape") and x.ndim >= 2
+                and x.size >= min_size and x.shape[-1] % model_size == 0):
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(place, params)
+
+
 def pad_batch_for_sharding(batch: Dict[str, Any], multiple: int) -> Dict[str, Any]:
     """Right-pad the batch dimension to a multiple of the data-axis size.
 

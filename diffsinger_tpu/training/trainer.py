@@ -65,7 +65,9 @@ class Trainer:
                  work_dir: Optional[str] = None):
         self.hp = hp
         self.task = task
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            mesh = make_mesh(num_model=int(hp.get("num_model_shards", 1)))
+        self.mesh = mesh
         self.work_dir = work_dir or hp.get("work_dir") or "checkpoints/default"
         os.makedirs(self.work_dir, exist_ok=True)
         self.global_step = 0
@@ -98,9 +100,21 @@ class Trainer:
         self.params = load_warm_start_params(self.hp, self.params)
 
     def _place(self):
-        sharding = replicated(self.mesh)
-        self.params = jax.device_put(self.params, sharding)
-        self.opt_state = jax.device_put(self.opt_state, sharding)
+        if self.mesh.shape.get("model", 1) > 1:
+            from diffsinger_tpu.parallel.mesh import param_shardings
+
+            p_sh = param_shardings(self.params, self.mesh,
+                                   min_size=int(self.hp.get(
+                                       "tp_min_param_size", 1 << 16)))
+            self.params = jax.tree_util.tree_map(jax.device_put, self.params,
+                                                 p_sh)
+            # re-derive optimizer state from the placed params so the moments
+            # inherit each param's sharding (TP resume re-initializes moments)
+            self.opt_state = self.tx.init(self.params)
+        else:
+            sharding = replicated(self.mesh)
+            self.params = jax.device_put(self.params, sharding)
+            self.opt_state = jax.device_put(self.opt_state, sharding)
 
     # ------------------------------------------------------------------ steps
     def _make_train_step(self):

@@ -13,8 +13,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def run_one(name, compute_dtype, use_pallas):
     import jax
+
+    _enable_compile_cache()
 
     import __graft_entry__ as g
     from diffsinger_tpu.training.tasks import build_task
