@@ -99,7 +99,7 @@ def _make_kernel(dilations: Sequence[int], num_layers: int):
 def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
                   cond_proj: jnp.ndarray, w_dil: jnp.ndarray,
                   b_dil: jnp.ndarray, w_out: jnp.ndarray, b_out: jnp.ndarray,
-                  *, dilations: tuple, batch_tile: int = 2,
+                  *, dilations: tuple, batch_tile: int = 1,
                   interpret: bool = False) -> jnp.ndarray:
     """Run the fused residual stack.
 
@@ -150,7 +150,7 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
 
 def diffnet_forward_pallas(params: dict, spec: jnp.ndarray, t: jnp.ndarray,
                            cond_proj: jnp.ndarray, *, dilations: tuple,
-                           batch_tile: int = 2,
+                           batch_tile: int = 1,
                            interpret: bool = False) -> jnp.ndarray:
     """Full DiffNet forward with the fused Pallas stack.
 

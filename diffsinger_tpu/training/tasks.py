@@ -109,8 +109,7 @@ def build_modules(hp: Dict[str, Any], vocab_size: int) -> TaskModules:
             # cond: raw [B, T, H] (training) or precomputed per-layer
             # projections [L, B, T, 2C] (sampling; see DiffNet.precompute_cond)
             if cond.ndim == 4:
-                if use_pallas and decoder_type == "wavenet" \
-                        and x.shape[0] % 2 == 0:
+                if use_pallas and decoder_type == "wavenet":
                     from diffsinger_tpu.ops.diffnet_stack import \
                         diffnet_forward_pallas
 

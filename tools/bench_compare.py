@@ -64,7 +64,11 @@ if __name__ == "__main__":
     for mode in modes:
         dtype = "bfloat16" if mode.startswith("bf16") else "float32"
         pallas = mode.endswith("pallas")
-        results[mode] = run_one(mode, dtype, pallas)
+        try:
+            results[mode] = run_one(mode, dtype, pallas)
+        except Exception as e:
+            print(f"[{mode}] FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
     if len(results) > 1:
         base = list(results)[0]
         for k, (dt, _) in results.items():
