@@ -40,19 +40,27 @@ class FastSpeechDataset:
         self.prefix = prefix
         self.shuffle = shuffle
         self.data_dir = hp["binary_data_dir"]
-        self.sizes = np.load(f"{self.data_dir}/{prefix}_lengths.npy")
         self.indexed_ds: Optional[IndexedDataset] = None
+        self._items_override: Optional[List[Dict[str, Any]]] = None
+        self.avail_idxs: Optional[List[int]] = None
+        if prefix == "test" and hp.get("test_input_dir"):
+            # raw-wav ingestion (reference tasks/tts/fs2_utils.py:154-173)
+            self._items_override, self.sizes = load_test_inputs(
+                hp, hp["test_input_dir"])
+            return
+        self.sizes = np.load(f"{self.data_dir}/{prefix}_lengths.npy")
         f0_stats_fn = f"{self.data_dir}/train_f0s_mean_std.npy"
         if os.path.exists(f0_stats_fn):
             mean, std = np.load(f0_stats_fn)
             hp["f0_mean"], hp["f0_std"] = float(mean), float(std)
-        self.avail_idxs: Optional[List[int]] = None
         if prefix == "test" and hp.get("num_test_samples", 0) > 0:
             self.avail_idxs = (list(range(hp["num_test_samples"]))
                                + list(hp.get("test_ids", [])))
             self.sizes = np.asarray([self.sizes[i] for i in self.avail_idxs])
 
     def _get_item(self, index: int) -> Dict[str, Any]:
+        if self._items_override is not None:
+            return self._items_override[index]
         if self.avail_idxs is not None:
             index = self.avail_idxs[index]
         if self.indexed_ds is None:
@@ -183,6 +191,28 @@ class FastSpeechDataset:
     def iter_batches(self, **kw) -> Iterator[Dict[str, Any]]:
         for batch_idx in self.batches(**kw):
             yield self.collater([self[i] for i in batch_idx])
+
+
+def load_test_inputs(hp: Dict[str, Any], test_input_dir: str):
+    """Ingest raw wavs as test items: mel + F0, no text/alignment
+    (reference tasks/tts/fs2_utils.py:154-173)."""
+    import glob as _glob
+
+    from diffsinger_tpu.data.pitch_extract import get_pitch
+    from diffsinger_tpu.ops.mel import MelConfig, wav2spec
+    from diffsinger_tpu.utils.misc import load_wav
+
+    cfg = MelConfig.from_hparams(hp)
+    items, sizes = [], []
+    for wav_fn in sorted(_glob.glob(os.path.join(test_input_dir, "*.wav"))):
+        wav = load_wav(wav_fn, cfg.sample_rate)
+        wav, mel = wav2spec(wav, cfg)
+        f0, pitch = get_pitch(wav, mel, hp)
+        items.append({"item_name": os.path.basename(wav_fn), "txt": "",
+                      "phone": np.zeros(1, np.int64), "mel": mel, "f0": f0,
+                      "pitch": pitch})
+        sizes.append(mel.shape[0])
+    return items, np.asarray(sizes)
 
 
 class ShallowDiffusionOfflineDataset(FastSpeechDataset):

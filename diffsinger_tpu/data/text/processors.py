@@ -97,8 +97,27 @@ class EnProcessor(BaseTxtProcessor):
 class ZhProcessor(BaseTxtProcessor):
     """Chinese shengmu/yunmu+tone (reference txt_processors/zh.py:8-41)."""
 
+    _TABLE = {ord(f): ord(t) for f, t in zip(
+        "：，。！？【】（）％＃＠＆１２３４５６７８９０",
+        ":,.!?[]()%#@&1234567890")}
+
+    @classmethod
+    def preprocess_text(cls, text: str) -> str:
+        from diffsinger_tpu.data.text.text_norm import NSWNormalizer
+
+        text = text.translate(cls._TABLE)
+        text = NSWNormalizer(text).normalize(remove_punc=False)
+        text = re.sub("[\'\"()]+", "", text)
+        text = re.sub("[-]+", " ", text)
+        text = re.sub(f"[^ A-Za-z一-鿿{PUNCS}]", "", text)
+        text = re.sub(f"([{PUNCS}])+", r"\1", text)
+        text = re.sub(f"([{PUNCS}])", r" \1 ", text)
+        text = re.sub(r"\s+", "", text)
+        return text
+
     @classmethod
     def process(cls, txt, pre_align_args):
+        txt = cls.preprocess_text(txt)
         try:
             from pypinyin import Style, pinyin
         except ImportError as e:
