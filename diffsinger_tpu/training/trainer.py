@@ -147,6 +147,12 @@ class Trainer:
         arrays = shard_batch(self.mesh, arrays)
         self.params, self.opt_state, losses = self._train_step_fn(
             self.params, self.opt_state, arrays, rng, self.global_step)
+        if self.hp.get("print_nan_grads") or self.hp.get("debug"):
+            # debug guard (reference pl_utils.py:1608-1610 print_nan_grads)
+            total = float(losses["total_loss"])
+            if total != total:
+                print(f"| WARNING: NaN loss at step {self.global_step}: "
+                      f"{ {k: float(v) for k, v in losses.items()} }")
         self.global_step += 1
         return losses
 
@@ -267,6 +273,10 @@ class Trainer:
         if valid_dataset is not None and sanity_steps > 0 and self.global_step == 0:
             self.validate(valid_dataset.iter_batches(), max_batches=sanity_steps)
 
+        profile_dir = hp.get("profile_dir")
+        if profile_dir:  # jax.profiler trace of the first steps (SURVEY §5)
+            jax.profiler.start_trace(profile_dir)
+
         epoch = 0
         t0 = time.time()
         while self.global_step < max_updates:
@@ -290,7 +300,12 @@ class Trainer:
                         self.save_checkpoint(val.get("total_loss"))
                     else:
                         self.save_checkpoint()
+                if profile_dir and self.global_step == 10:
+                    jax.profiler.stop_trace()
+                    profile_dir = None
                 if self.global_step >= max_updates:
                     break
             epoch += 1
+        if profile_dir:
+            jax.profiler.stop_trace()
         self.save_checkpoint()

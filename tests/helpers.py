@@ -32,6 +32,11 @@ def make_synthetic_dataset(data_dir: str, n_train: int = 6, n_valid: int = 2,
             f0 = 220 + 30 * np.sin(np.arange(t_mel) / 7) + rng.randn(t_mel)
             f0 = f0.astype(np.float32)
             f0[rng.rand(t_mel) < 0.1] = 0.0
+            from diffsinger_tpu.utils.cwt import get_cont_lf0, get_lf0_cwt
+
+            _, cont_lf0 = get_cont_lf0(f0)
+            lf0_mean, lf0_std = float(cont_lf0.mean()), float(cont_lf0.std())
+            cwt_spec, _ = get_lf0_cwt((cont_lf0 - lf0_mean) / max(lf0_std, 1e-4))
             item = {
                 "item_name": f"{prefix}_{i}",
                 "txt": "x " * t_txt,
@@ -41,6 +46,9 @@ def make_synthetic_dataset(data_dir: str, n_train: int = 6, n_valid: int = 2,
                 "pitch": f0_to_coarse_np(f0.copy()),
                 "mel2ph": mel2ph.astype(np.int64),
                 "spk_id": 0,
+                "cwt_spec": cwt_spec.astype(np.float32),
+                "f0_mean": lf0_mean,
+                "f0_std": lf0_std,
             }
             if midi:
                 item["pitch_midi"] = rng.randint(50, 70, size=t_txt).astype(np.int64)
