@@ -44,6 +44,48 @@ def _dataset_cls(hp):
     return OpencpopDataset if hp.get("use_midi") else FastSpeechDataset
 
 
+def make_valid_plotter(hp, task):
+    """First-N validation batches -> GT/pred mel figures + vocoded audio in TB
+    (reference tasks/tts/fs2.py:289-335, usr/diffspeech_task.py:112-121)."""
+    import jax
+
+    from diffsinger_tpu.inference.vocoder import get_vocoder_cls
+    from diffsinger_tpu.utils.plot import spec_to_figure
+
+    state = {}
+
+    def plotter(trainer, batch, batch_idx):
+        w = trainer.writer
+        if w is None:
+            return
+        out = task.inference(trainer.params, batch,
+                             jax.random.PRNGKey(batch_idx), use_gt_dur=True,
+                             use_gt_f0=bool(hp.get("use_gt_f0", False)))
+        mel_pred = np.asarray(out["mel_out"])[0]
+        mel_gt = np.asarray(batch["mels"])[0]
+        n = int(batch["mel_lengths"][0])
+        cat = np.concatenate([mel_gt[:n], mel_pred[:n]], axis=1)
+        w.add_figure(f"mel_{batch_idx}", spec_to_figure(
+            cat, hp.get("mel_vmin", -6), hp.get("mel_vmax", 1.5)),
+            trainer.global_step)
+        if "vocoder" not in state:
+            try:
+                state["vocoder"] = get_vocoder_cls(hp)(hp)
+            except Exception as e:
+                print(f"| vocoder unavailable for val audio: {e}")
+                state["vocoder"] = None
+        voc = state["vocoder"]
+        if voc is not None and batch_idx == 0:
+            f0 = (np.asarray(out["f0_denorm"])[0][:n]
+                  if "f0_denorm" in out else None)
+            wav = voc.spec2wav(mel_pred[:n], f0=f0)
+            w.add_audio(f"pred_{batch_idx}", wav[:, None],
+                        sample_rate=hp["audio_sample_rate"],
+                        global_step=trainer.global_step)
+
+    return plotter
+
+
 def train(hp):
     from diffsinger_tpu.training.trainer import Trainer
 
@@ -52,6 +94,7 @@ def train(hp):
     train_ds = ds_cls(hp, hp.get("train_set_name", "train"), shuffle=True)
     valid_ds = ds_cls(hp, hp.get("valid_set_name", "valid"))
     trainer = Trainer(hp, task)
+    trainer.plotter = make_valid_plotter(hp, task)
     trainer.fit(train_ds, valid_ds)
 
 

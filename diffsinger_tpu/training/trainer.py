@@ -77,6 +77,7 @@ class Trainer:
         self._train_step_fn = None
         self._writer = None
         self.best_val_loss = float("inf")
+        self.plotter = None  # optional validation plot callback
 
     # ------------------------------------------------------------------ setup
     def initialize(self, sample_batch: Dict[str, Any],
@@ -157,7 +158,12 @@ class Trainer:
         return losses
 
     def validate(self, batches: Iterator[Dict[str, Any]],
-                 max_batches: Optional[int] = None) -> Dict[str, float]:
+                 max_batches: Optional[int] = None,
+                 plotter=None) -> Dict[str, float]:
+        """``plotter(trainer, batch, batch_idx)`` runs for the first
+        ``num_valid_plots`` batches (reference validation_step plots,
+        usr/diffsinger_task.py:86-98)."""
+        num_plots = int(self.hp.get("num_valid_plots", 0)) if plotter else 0
         metrics = MetricsDict()
         eval_fn = jax.jit(
             lambda p, b, r: self.task.train_loss(p, b, r, global_step=None,
@@ -175,6 +181,11 @@ class Trainer:
             scalars = {k: float(v) for k, v in losses.items()}
             scalars["total_loss"] = float(total)
             metrics.update(scalars, n)
+            if i < num_plots:
+                try:
+                    plotter(self, batch, i)
+                except Exception as e:  # plotting must never fail validation
+                    print(f"| validation plot {i} failed: {e}")
         return metrics.averages()
 
     # ------------------------------------------------------------------ ckpt
@@ -295,7 +306,8 @@ class Trainer:
                         f"{k}={v:.4f}" for k, v in scalars.items()))
                 if self.global_step % val_interval == 0 and self.global_step > 0:
                     if valid_dataset is not None:
-                        val = self.validate(valid_dataset.iter_batches())
+                        val = self.validate(valid_dataset.iter_batches(),
+                                            plotter=self.plotter)
                         self.log_scalars(val, prefix="val")
                         self.save_checkpoint(val.get("total_loss"))
                     else:
