@@ -44,10 +44,14 @@ def _batch_arrays(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
 
 def build_optimizer(hp: Dict[str, Any], params, rule) -> optax.GradientTransformation:
     schedule = build_lr_schedule(hp)
-    tx = optax.adamw(schedule,
-                     b1=float(hp.get("optimizer_adam_beta1", 0.9)),
-                     b2=float(hp.get("optimizer_adam_beta2", 0.98)),
-                     weight_decay=float(hp.get("weight_decay", 0.0)))
+    b1 = float(hp.get("optimizer_adam_beta1", 0.9))
+    b2 = float(hp.get("optimizer_adam_beta2", 0.98))
+    wd = float(hp.get("weight_decay", 0.0))
+    opt_name = str(hp.get("optimizer", "adamw")).lower()
+    if opt_name == "radam":  # reference parallel_wavegan/optimizers/radam.py
+        tx = optax.radam(schedule, b1=b1, b2=b2)
+    else:
+        tx = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=wd)
     clip = float(hp.get("clip_grad_norm", 0) or 0)
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
