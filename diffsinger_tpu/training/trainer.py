@@ -285,8 +285,19 @@ class Trainer:
             self.initialize(first)
         self.snapshot_code()
 
+        # eval batching honors max_eval_tokens/max_eval_sentences
+        # (reference configs/tts/base.yaml:101-102 semantics)
+        ev_tokens = hp.get("max_eval_tokens", -1)
+        ev_tokens = None if not ev_tokens or ev_tokens < 0 else ev_tokens
+        ev_sents = hp.get("max_eval_sentences", -1)
+        ev_sents = None if not ev_sents or ev_sents < 0 else ev_sents
+
+        def valid_batches():
+            return valid_dataset.iter_batches(max_tokens=ev_tokens,
+                                              max_sentences=ev_sents)
+
         if valid_dataset is not None and sanity_steps > 0 and self.global_step == 0:
-            self.validate(valid_dataset.iter_batches(), max_batches=sanity_steps)
+            self.validate(valid_batches(), max_batches=sanity_steps)
 
         profile_dir = hp.get("profile_dir")
         if profile_dir:  # jax.profiler trace of the first steps (SURVEY §5)
@@ -310,7 +321,7 @@ class Trainer:
                         f"{k}={v:.4f}" for k, v in scalars.items()))
                 if self.global_step % val_interval == 0 and self.global_step > 0:
                     if valid_dataset is not None:
-                        val = self.validate(valid_dataset.iter_batches(),
+                        val = self.validate(valid_batches(),
                                             plotter=self.plotter)
                         self.log_scalars(val, prefix="val")
                         self.save_checkpoint(val.get("total_loss"))
