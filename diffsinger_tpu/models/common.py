@@ -207,7 +207,8 @@ class Embedding(nn.Module):
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
-        table = self.param("embedding", embedding_init, (self.num_embeddings, self.dim))
+        table = jnp.asarray(self.param("embedding", embedding_init,
+                                       (self.num_embeddings, self.dim)))
         if self.padding_idx is not None:
             table = table.at[self.padding_idx].set(0.0)
         return jnp.take(table, ids, axis=0)
