@@ -6,8 +6,6 @@ Capability parity with reference tasks/run.py (15 LoC): resolve hparams, resolve
 
 from __future__ import annotations
 
-import os
-import sys
 
 import numpy as np
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from diffsinger_tpu.models.diffnet import (kaiming_conv_init, mish,

@@ -10,7 +10,7 @@ is pluggable.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -23,7 +23,7 @@ surrounding sampler arithmetic).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ from diffsinger_tpu.models.diffusion import DiffusionConfig, GaussianDiffusion
 from diffsinger_tpu.models.fs2 import FS2Config, FastSpeech2
 from diffsinger_tpu.models.pe import PEConfig, PitchExtractor
 from diffsinger_tpu.training import losses as L
-from diffsinger_tpu.utils.pitch import denorm_f0
 
 
 def _spk_input(hp, batch):

@@ -21,7 +21,6 @@ import os
 import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
-import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
