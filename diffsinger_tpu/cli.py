@@ -6,14 +6,28 @@ Capability parity with reference tasks/run.py (15 LoC): resolve hparams, resolve
 
 from __future__ import annotations
 
+import os
 
 import numpy as np
+
+
+def maybe_init_distributed(hp):
+    """Multi-host bring-up: ``jax.distributed.initialize()`` when launched under
+    a multi-host coordinator (replaces the reference's NCCL process-group
+    bootstrap, tasks/base_task.py:277-291). No-ops single-host."""
+    import jax
+
+    if hp.get("multi_host") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        print(f"| process {jax.process_index()}/{jax.process_count()} up, "
+              f"{jax.device_count()} devices total")
 
 
 def run(argv=None):
     from diffsinger_tpu.config import set_hparams
 
     hp = set_hparams(argv=argv, print_hparams=True)
+    maybe_init_distributed(hp)
     if hp.get("infer"):
         infer(hp)
     else:
