@@ -168,9 +168,11 @@ class Trainer:
         usr/diffsinger_task.py:86-98)."""
         num_plots = int(self.hp.get("num_valid_plots", 0)) if plotter else 0
         metrics = MetricsDict()
-        eval_fn = jax.jit(
-            lambda p, b, r: self.task.train_loss(p, b, r, global_step=None,
-                                                 deterministic=True))
+        if not hasattr(self, "_eval_fn") or self._eval_fn is None:
+            self._eval_fn = jax.jit(
+                lambda p, b, r: self.task.train_loss(p, b, r, global_step=None,
+                                                     deterministic=True))
+        eval_fn = self._eval_fn
         rng = jax.random.PRNGKey(0)
         for i, batch in enumerate(batches):
             if max_batches is not None and i >= max_batches:
