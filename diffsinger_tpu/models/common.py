@@ -102,6 +102,7 @@ class MultiHeadSelfAttention(nn.Module):
     dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, key_padding_mask: Optional[jnp.ndarray] = None,
@@ -109,22 +110,25 @@ class MultiHeadSelfAttention(nn.Module):
         b, t, c = x.shape
         h = self.num_heads
         hd = c // h
-        qkv = nn.Dense(3 * c, use_bias=False, name="in_proj",
+        qkv = nn.Dense(3 * c, use_bias=False, name="in_proj", dtype=self.dtype,
                        kernel_init=nn.initializers.xavier_uniform())(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
         k = k.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
         if key_padding_mask is not None:
             # key_padding_mask: [B, T] True where PAD
             scores = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, scores)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd",
+                         probs.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
-        return nn.Dense(c, use_bias=False, name="out_proj",
-                        kernel_init=nn.initializers.xavier_uniform())(out)
+        return nn.Dense(c, use_bias=False, name="out_proj", dtype=self.dtype,
+                        kernel_init=nn.initializers.xavier_uniform())(out).astype(
+            jnp.float32)
 
 
 class ConvFFN(nn.Module):
@@ -137,6 +141,7 @@ class ConvFFN(nn.Module):
     dropout: float = 0.0
     act: str = "gelu"
     padding: str = "SAME"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -144,7 +149,8 @@ class ConvFFN(nn.Module):
             pad = [(self.kernel_size // 2, (self.kernel_size - 1) // 2)]
         else:  # LEFT (causal)
             pad = [(self.kernel_size - 1, 0)]
-        x = nn.Conv(self.filter_size, (self.kernel_size,), padding=pad, name="ffn_1")(x)
+        x = nn.Conv(self.filter_size, (self.kernel_size,), padding=pad,
+                    dtype=self.dtype, name="ffn_1")(x)
         x = x * self.kernel_size ** -0.5
         if self.act == "gelu":
             x = jax.nn.gelu(x, approximate=False)
@@ -153,9 +159,9 @@ class ConvFFN(nn.Module):
         elif self.act == "swish":
             x = jax.nn.silu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.hidden_size, name="ffn_2",
+        x = nn.Dense(self.hidden_size, name="ffn_2", dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class EncSALayer(nn.Module):
@@ -168,6 +174,7 @@ class EncSALayer(nn.Module):
     kernel_size: int = 9
     act: str = "gelu"
     padding: str = "SAME"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, padding_mask: jnp.ndarray,
@@ -177,7 +184,8 @@ class EncSALayer(nn.Module):
         if self.num_heads > 0:
             residual = x
             x = nn.LayerNorm(name="layer_norm1")(x)
-            x = MultiHeadSelfAttention(self.hidden_size, self.num_heads, name="self_attn")(
+            x = MultiHeadSelfAttention(self.hidden_size, self.num_heads,
+                                       dtype=self.dtype, name="self_attn")(
                 x, key_padding_mask=padding_mask, deterministic=deterministic)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             x = (residual + x) * nonpad
@@ -185,7 +193,7 @@ class EncSALayer(nn.Module):
         x = nn.LayerNorm(name="layer_norm2")(x)
         x = ConvFFN(self.hidden_size, 4 * self.hidden_size, self.kernel_size,
                     dropout=self.dropout, act=self.act, padding=self.padding,
-                    name="ffn")(x, deterministic=deterministic)
+                    dtype=self.dtype, name="ffn")(x, deterministic=deterministic)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = (residual + x) * nonpad
         return x

@@ -32,6 +32,7 @@ class FFTBlocks(nn.Module):
     use_pos_embed_alpha: bool = True
     ffn_act: str = "gelu"
     ffn_padding: str = "SAME"
+    dtype: "Optional[object]" = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray] = None,
@@ -53,7 +54,8 @@ class FFTBlocks(nn.Module):
         for i in range(self.num_layers):
             x = EncSALayer(self.hidden_size, self.num_heads, dropout=self.dropout,
                            kernel_size=self.ffn_kernel_size, act=self.ffn_act,
-                           padding=self.ffn_padding, name=f"layers_{i}")(
+                           padding=self.ffn_padding, dtype=self.dtype,
+                           name=f"layers_{i}")(
                 x, padding_mask, deterministic=deterministic) * nonpad
         if self.use_last_norm:
             x = nn.LayerNorm(name="layer_norm")(x) * nonpad
@@ -75,6 +77,7 @@ class FastSpeechEncoder(nn.Module):
     use_pos_embed: bool = True
     ffn_act: str = "gelu"
     ffn_padding: str = "SAME"
+    dtype: "Optional[object]" = None
 
     def setup(self):
         self.embed_tokens = Embedding(self.vocab_size, self.hidden_size, padding_idx=0,
@@ -86,7 +89,8 @@ class FastSpeechEncoder(nn.Module):
         self.blocks = FFTBlocks(self.hidden_size, self.num_layers, self.ffn_kernel_size,
                                 dropout=self.dropout, num_heads=self.num_heads,
                                 use_pos_embed=False, ffn_act=self.ffn_act,
-                                ffn_padding=self.ffn_padding, name="blocks")
+                                ffn_padding=self.ffn_padding, dtype=self.dtype,
+                                name="blocks")
         self.embed_dropout = nn.Dropout(self.dropout)
 
     def embed(self, txt_tokens: jnp.ndarray, extra_embed: Optional[jnp.ndarray] = None,
@@ -121,6 +125,7 @@ class FastSpeechDecoder(nn.Module):
     dropout: float = 0.1
     ffn_act: str = "gelu"
     ffn_padding: str = "SAME"
+    dtype: "Optional[object]" = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray] = None,
@@ -128,5 +133,6 @@ class FastSpeechDecoder(nn.Module):
         return FFTBlocks(self.hidden_size, self.num_layers, self.ffn_kernel_size,
                          dropout=self.dropout, num_heads=self.num_heads,
                          use_pos_embed=True, ffn_act=self.ffn_act,
-                         ffn_padding=self.ffn_padding, name="blocks")(
+                         ffn_padding=self.ffn_padding, dtype=self.dtype,
+                         name="blocks")(
             x, padding_mask, deterministic=deterministic)

@@ -71,6 +71,8 @@ class FS2Config:
     num_spk: int = 1
     # MIDI (DiffSinger OpenCpop variant)
     use_midi: bool = False
+    # MXU compute precision for the FFT stacks ("bfloat16" for inference speed)
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any], vocab_size: int) -> "FS2Config":
@@ -80,6 +82,7 @@ class FS2Config:
         kw["out_dims"] = hp.get("audio_num_mel_bins", 80)
         kw.setdefault("rel_pos", bool(hp.get("rel_pos", False)))
         kw.setdefault("use_midi", bool(hp.get("use_midi", False)))
+        kw["compute_dtype"] = str(hp.get("compute_dtype", "float32"))
         if hp.get("f0_mean") is not None:
             kw["f0_mean"] = float(hp["f0_mean"])
         if hp.get("f0_std") is not None:
@@ -96,15 +99,18 @@ class FastSpeech2(nn.Module):
 
     def setup(self):
         c = self.cfg
+        import jax.numpy as _jnp
+
+        dtype = _jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.encoder = FastSpeechEncoder(
             c.vocab_size, c.hidden_size, c.enc_layers, c.enc_ffn_kernel_size,
             num_heads=c.num_heads, dropout=c.dropout, rel_pos=c.rel_pos,
             use_pos_embed=c.use_pos_embed, ffn_act=c.ffn_act,
-            ffn_padding=c.ffn_padding, name="encoder")
+            ffn_padding=c.ffn_padding, dtype=dtype, name="encoder")
         self.decoder = FastSpeechDecoder(
             c.hidden_size, c.dec_layers, c.dec_ffn_kernel_size, num_heads=c.num_heads,
             dropout=c.dropout, ffn_act=c.ffn_act, ffn_padding=c.ffn_padding,
-            name="decoder")
+            dtype=dtype, name="decoder")
         self.mel_out = xavier_dense(c.out_dims, name="mel_out")
         self.dur_predictor = DurationPredictor(
             channels=c.pred_hidden, num_layers=c.dur_predictor_layers,

@@ -94,6 +94,11 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
         self.restore()  # auto-resume if checkpoints exist
         self._place()
+        if jax.process_index() == 0:  # reference utils/__init__.py:240-250
+            for top, sub in self.params.items():
+                n = sum(int(np.prod(x.shape)) for x in
+                        jax.tree_util.tree_leaves(sub))
+                print(f"| {top} params: {n / 1e6:.3f}M")
         return self.params
 
     def load_warm_start(self):
