@@ -273,22 +273,52 @@ class BaseBinarizer:
 @register_binarizer("zh")
 class ZhBinarizer(BaseBinarizer):
     """Chinese duration post-processing (reference data_gen/tts/binarizer_zh.py:
-    12-55): silence duration merges into the previous yunmu; a shengmu+yunmu
-    pair splits the word duration 50/50)."""
+    12-55): a separator's leading voiced frames move into the previous yunmu
+    (short separators vanish entirely), then each shengmu+yunmu pair splits
+    its combined duration 50/50."""
 
     @staticmethod
     def get_align(tg_fn, ph, mel, phone_encoded, res, hp):
-        BaseBinarizer.get_align(tg_fn, ph, mel, res.get("phone", phone_encoded),
-                                res, hp)
-        mel2ph = res["mel2ph"]
+        from diffsinger_tpu.data.text.pinyin import ALL_SHENGMU
+
+        if tg_fn is None or not os.path.exists(tg_fn):
+            raise BinarizationError("Align not found")
+        _, dur = mel2ph_from_textgrid(open(tg_fn).read(), ph, mel.shape[0],
+                                      hp["audio_sample_rate"], hp["hop_size"])
         ph_list = ph.split(" ")
-        # assign silence frames to the previous yunmu
-        for i in range(len(ph_list) - 1):
-            if ph_list[i] in ALL_YUNMU and i + 1 < len(ph_list) and \
-                    is_sil_phoneme(ph_list[i + 1]) and i + 2 < len(ph_list) \
-                    and not is_sil_phoneme(ph_list[i + 2]):
-                mel2ph[mel2ph == i + 2] = i + 1
+        assert len(dur) == len(ph_list)
+        dur = list(dur)
+        # separator frames that are still voiced belong to the previous yunmu
+        dur_cumsum = np.pad(np.cumsum(dur), (1, 0))
+        for i in range(len(dur)):
+            p = ph_list[i]
+            if p and p[0] != "<" and not p[0].isalpha():
+                uv_ = res["f0"][dur_cumsum[i]: dur_cumsum[i + 1]] == 0
+                j = 0
+                while j < len(uv_) and not uv_[j]:
+                    j += 1
+                dur[i - 1] += j
+                dur[i] -= j
+                if dur[i] < 100:
+                    dur[i - 1] += dur[i]
+                    dur[i] = 0
+        # shengmu and its yunmu share their duration equally
+        for i in range(len(dur)):
+            if ph_list[i] in ALL_SHENGMU and i + 1 < len(ph_list):
+                p_next = ph_list[i + 1]
+                if not (dur[i] > 0 and p_next and p_next[0].isalpha()
+                        and p_next not in ALL_SHENGMU):
+                    continue
+                total = dur[i + 1] + dur[i]
+                dur[i] = total // 2
+                dur[i + 1] = total - dur[i]
+        mel2ph = np.concatenate([np.full(d, i + 1, np.int64)
+                                 for i, d in enumerate(dur)]) if sum(dur) else \
+            np.zeros(0, np.int64)
+        if len(mel2ph) and mel2ph.max() - 1 >= len(phone_encoded):
+            raise BinarizationError("Align does not match")
         res["mel2ph"] = mel2ph
+        res["dur"] = np.asarray(dur)
 
 
 @register_binarizer("singing")
