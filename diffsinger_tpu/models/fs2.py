@@ -82,7 +82,11 @@ class FS2Config:
         kw["out_dims"] = hp.get("audio_num_mel_bins", 80)
         kw.setdefault("rel_pos", bool(hp.get("rel_pos", False)))
         kw.setdefault("use_midi", bool(hp.get("use_midi", False)))
-        kw["compute_dtype"] = str(hp.get("compute_dtype", "float32"))
+        # NOTE: deliberately a separate knob from the denoiser's compute_dtype:
+        # measured on v5e, bf16 in the FFT stacks is a net LOSS (212 vs 177 ms
+        # DDPM-71) — the per-sublayer f32<->bf16 cast boundaries cost more than
+        # the MXU saves at hidden=256. See BENCH.md.
+        kw["compute_dtype"] = str(hp.get("fs2_compute_dtype", "float32"))
         if hp.get("f0_mean") is not None:
             kw["f0_mean"] = float(hp["f0_mean"])
         if hp.get("f0_std") is not None:
