@@ -140,11 +140,17 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
             pltpu.VMEM((bt, t, c), jnp.float32),
         ],
     )
+    kwargs = {}
+    if not interpret:
+        # batch tiles are independent; layer iterations carry VMEM state
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, t, c), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(dil_idx, x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out)
 
 

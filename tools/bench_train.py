@@ -1,0 +1,53 @@
+"""Training-step throughput on the real chip (diffusion task, flagship shapes)."""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import __graft_entry__ as g
+    from diffsinger_tpu.parallel.mesh import make_mesh
+    from diffsinger_tpu.training.tasks import build_task
+    from diffsinger_tpu.training.trainer import Trainer
+
+    hp = g._tiny_hp()
+    hp.update(hidden_size=256, enc_layers=4, dec_layers=4, residual_layers=20,
+              residual_channels=256, timesteps=100, K_step=71, max_beta=0.06,
+              schedule_type="linear", pitch_type="frame", lr=0.001,
+              decay_steps=50000, clip_grad_norm=1)
+    task = build_task(hp, vocab_size=80)
+    rng = np.random.RandomState(0)
+    B, T_MEL = 24, 1024  # ~max_tokens 24k at 1024-frame bucket
+    batch = g._synthetic_batch(rng, b=B, t_txt=128, t_mel=T_MEL)
+    mesh = make_mesh(num_data=1)
+    trainer = Trainer(hp, task, mesh=mesh, work_dir="/tmp/bench_train")
+    t0 = time.perf_counter()
+    trainer.initialize(batch)
+    trainer.train_step(batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(trainer.params)
+    _ = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
+    print(f"[train] init+compile {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    n = 10
+    for i in range(n):
+        losses = trainer.train_step(batch, jax.random.PRNGKey(i))
+    _ = float(losses["total_loss"])  # sync
+    _ = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
+    dt = (time.perf_counter() - t0) / n
+    frames = B * T_MEL
+    print(f"[train] {dt * 1000:.1f} ms/step  {frames / dt:.0f} mel-frames/s  "
+          f"({frames} frames/batch)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
