@@ -126,12 +126,18 @@ class Trainer:
             self.opt_state = jax.device_put(self.opt_state, sharding)
 
     # ------------------------------------------------------------------ steps
-    def _make_train_step(self):
+    def _make_train_step(self, use_gt_f0: bool = True):
         task, tx = self.task, self.tx
+        kw = {}
+        # switch_midi2f0_step curriculum (usr/diffsinger_task.py:284-289):
+        # one recompile when the step threshold is crossed
+        if "use_gt_f0" in type(task).train_loss.__code__.co_varnames:
+            kw["use_gt_f0"] = use_gt_f0
 
         def train_step(params, opt_state, batch, rng, step):
             def loss_fn(p):
-                total, losses = task.train_loss(p, batch, rng, global_step=None)
+                total, losses = task.train_loss(p, batch, rng, global_step=None,
+                                                **kw)
                 new_state = losses.pop("_new_state", None)
                 return total, (losses, new_state)
 
@@ -148,8 +154,12 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0, 1))
 
     def train_step(self, batch: Dict[str, Any], rng: jax.Array):
-        if self._train_step_fn is None:
-            self._train_step_fn = self._make_train_step()
+        switch = self.hp.get("switch_midi2f0_step")
+        use_gt_f0 = switch is None or self.global_step <= int(switch)
+        if self._train_step_fn is None or use_gt_f0 != getattr(
+                self, "_train_step_gt_f0", True):
+            self._train_step_fn = self._make_train_step(use_gt_f0)
+            self._train_step_gt_f0 = use_gt_f0
         arrays = _batch_arrays(batch)
         arrays = pad_batch_for_sharding(arrays, self.mesh.shape["data"])
         arrays.pop("nsamples", None)
