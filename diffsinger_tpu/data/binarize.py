@@ -36,7 +36,20 @@ from diffsinger_tpu.data.pitch_extract import get_pitch
 from diffsinger_tpu.data.text.pinyin import ALL_YUNMU
 from diffsinger_tpu.data.textgrid import (is_sil_phoneme, mel2ph_from_durs,
                                           mel2ph_from_textgrid)
+from diffsinger_tpu.data.audio_norm import normalize_loudness, trim_long_silences
 from diffsinger_tpu.ops.mel import MelConfig, wav2spec
+
+
+def condition_wav(wav: "np.ndarray", hp, sample_rate: int) -> "np.ndarray":
+    """Optional pre-mel waveform hooks, mirroring the reference's
+    process_utterance flags (data_gen/tts/data_gen_utils.py:106-120):
+    ``trim_long_sil`` removes long silent stretches, ``loud_norm`` gains to
+    -22 LUFS (BS.1770)."""
+    if hp.get("trim_long_sil"):
+        wav, _, _ = trim_long_silences(wav, sample_rate, norm=False)
+    if hp.get("loud_norm"):
+        wav = normalize_loudness(wav, sample_rate, target_lufs=-22.0)
+    return wav
 from diffsinger_tpu.utils.cwt import get_cont_lf0, get_lf0_cwt
 from diffsinger_tpu.utils.misc import load_wav
 from diffsinger_tpu.utils.text_encoder import TokenTextEncoder, build_phone_encoder
@@ -214,6 +227,7 @@ class BaseBinarizer:
                      binarization_args, hp):
         cfg = MelConfig.from_hparams(hp)
         wav = load_wav(wav_fn, cfg.sample_rate) if isinstance(wav_fn, str) else wav_fn
+        wav = condition_wav(wav, hp, cfg.sample_rate)
         wav, mel = wav2spec(wav, cfg)
         res = {"item_name": item_name, "txt": txt, "ph": ph, "mel": mel,
                "wav": wav, "wav_fn": wav_fn,
@@ -385,6 +399,7 @@ class _MidiMixin:
                      binarization_args, hp, midi_meta=None):
         cfg = MelConfig.from_hparams(hp)
         wav = load_wav(wav_fn, cfg.sample_rate) if isinstance(wav_fn, str) else wav_fn
+        wav = condition_wav(wav, hp, cfg.sample_rate)
         wav, mel = wav2spec(wav, cfg)
         res = {"item_name": item_name, "txt": txt, "ph": ph, "mel": mel,
                "wav": wav, "wav_fn": wav_fn, "sec": len(wav) / cfg.sample_rate,

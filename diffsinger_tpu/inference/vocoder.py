@@ -46,8 +46,12 @@ class BaseVocoder:
     def wav2spec(wav_fn: str, hp) -> tuple:
         from diffsinger_tpu.utils.misc import load_wav
 
+        from diffsinger_tpu.data.binarize import condition_wav
+
         cfg = MelConfig.from_hparams(hp)
         wav = load_wav(wav_fn, cfg.sample_rate)
+        # reference passes loud_norm through to process_utterance (vocoders/pwg.py:116)
+        wav = condition_wav(wav, hp, cfg.sample_rate)
         return wav2spec(wav, cfg)
 
 
