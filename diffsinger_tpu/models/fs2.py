@@ -53,6 +53,7 @@ class FS2Config:
     predictor_dropout: float = 0.5
     dur_predictor_layers: int = 2
     dur_predictor_kernel: int = 3
+    dur_loss: str = "mse"  # mse|huber|mog|crf (reference tts_modules.py:97-104)
     predictor_grad: float = 0.1
     # pitch / energy
     use_pitch_embed: bool = True
@@ -119,7 +120,7 @@ class FastSpeech2(nn.Module):
         self.dur_predictor = DurationPredictor(
             channels=c.pred_hidden, num_layers=c.dur_predictor_layers,
             kernel_size=c.dur_predictor_kernel, dropout=c.predictor_dropout,
-            padding=c.ffn_padding, name="dur_predictor")
+            padding=c.ffn_padding, dur_loss=c.dur_loss, name="dur_predictor")
         if c.use_spk_id:
             self.spk_embed_proj = Embedding(c.num_spk + 1, c.hidden_size,
                                             name="spk_embed_proj")
@@ -282,10 +283,10 @@ class FastSpeech2(nn.Module):
         dur_pred_inp = self._pred_grad(dur_inp)
         if mel2ph is None:
             assert t_mel is not None, "infer mode needs a static t_mel bucket"
-            log_dur = self.dur_predictor(dur_pred_inp, src_padding,
-                                         deterministic=deterministic)
-            ret["dur"] = log_dur
-            dur = self.dur_predictor.out2dur(log_dur)
+            dur, dur_out = self.dur_predictor(dur_pred_inp, src_padding,
+                                              deterministic=deterministic,
+                                              infer=True)
+            ret["dur"] = dur_out
             ret["dur_choice"] = dur
             mel2ph = jax.lax.stop_gradient(
                 length_regulator(dur, t_mel, dur_padding=src_padding))

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from diffsinger_tpu.models.common import SinusoidalPositionalEmbedding, xavier_dense
+from diffsinger_tpu.ops.crf import LinearChainCRF
 
 
 class _ConvReluLN(nn.Module):
@@ -38,10 +39,14 @@ class _ConvReluLN(nn.Module):
 
 
 class DurationPredictor(nn.Module):
-    """Log-domain duration predictor (reference tts_modules.py:59-151, mse head).
+    """Duration predictor (reference tts_modules.py:59-151).
 
-    The MoG/CRF heads are config-gated in the reference and unused by its five
-    documented pipelines; only the mse path is implemented (odim=1)."""
+    Head variants follow ``hparams['dur_loss']`` (reference tts_modules.py:97-104):
+    ``mse``/``huber`` -> odim=1 log-domain regression; ``mog`` -> odim=15 (the
+    reference's out2dur/loss for mog are literally ``NotImplementedError``,
+    tts_modules.py:130, tasks/tts/fs2.py:198-199 — matched); ``crf`` -> odim=32
+    emissions + a native linear-chain CRF (ops/crf.py) replacing torchcrf, with
+    Viterbi decode at inference (tts_modules.py:100-103,130-131)."""
 
     channels: int = 384
     num_layers: int = 2
@@ -49,11 +54,18 @@ class DurationPredictor(nn.Module):
     dropout: float = 0.1
     offset: float = 1.0
     padding: str = "SAME"
+    dur_loss: str = "mse"
+
+    @property
+    def odim(self) -> int:
+        return {"mse": 1, "huber": 1, "mog": 15, "crf": 32}[self.dur_loss]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> jnp.ndarray:
-        """x: [B, T, C] -> log-duration [B, T]."""
+                 deterministic: bool = True, infer: bool = False):
+        """x: [B, T, C] -> out [B, T] (mse) or [B, T, odim] (mog/crf).
+        With ``infer=True`` returns ``(dur [B, T] int32, out)`` — the reference's
+        ``inference()`` path (tts_modules.py:146-151)."""
         nonpad = (None if padding_mask is None
                   else (~padding_mask).astype(x.dtype)[:, :, None])
         for i in range(self.num_layers):
@@ -61,10 +73,27 @@ class DurationPredictor(nn.Module):
                             self.padding, name=f"conv_{i}")(x, deterministic)
             if nonpad is not None:
                 x = x * nonpad
-        x = nn.Dense(1, name="linear")(x)
+        x = nn.Dense(self.odim, name="linear")(x)
         if nonpad is not None:
             x = x * nonpad
-        return x[..., 0]
+        crf_tables = (LinearChainCRF(self.odim, name="crf").materialize()
+                      if self.dur_loss == "crf" else None)
+        out = x[..., 0] if self.dur_loss in ("mse", "huber") else x
+        if not infer:
+            return out
+        if self.dur_loss in ("mse", "huber"):
+            dur = self.out2dur(out)
+        elif self.dur_loss == "crf":
+            valid = (jnp.ones(x.shape[:2], bool) if padding_mask is None
+                     else ~padding_mask)
+            # torchcrf requires mask[:, 0]; padded batch rows keep their first
+            # step on so the decode stays well-defined, then get zeroed.
+            valid = valid.at[:, 0].set(True)
+            from diffsinger_tpu.ops.crf import crf_viterbi
+            dur = crf_viterbi(x, valid, *crf_tables) * valid.astype(jnp.int32)
+        else:  # mog — NotImplementedError in the reference too
+            raise NotImplementedError("dur_loss=mog has no out2dur (reference parity)")
+        return dur, out
 
     def out2dur(self, log_dur: jnp.ndarray) -> jnp.ndarray:
         """round(exp(x) - offset), clamped >= 0 (reference tts_modules.py:122-129)."""

@@ -64,15 +64,34 @@ def add_mel_losses(losses: Dict[str, jnp.ndarray], mel_out, target,
 def duration_losses(losses: Dict[str, jnp.ndarray], dur_pred_log: jnp.ndarray,
                     mel2ph: jnp.ndarray, txt_tokens: jnp.ndarray,
                     is_sil: jnp.ndarray, *, lambda_ph_dur: float = 1.0,
-                    lambda_word_dur: float = 1.0, lambda_sent_dur: float = 1.0):
+                    lambda_word_dur: float = 1.0, lambda_sent_dur: float = 1.0,
+                    dur_loss: str = "mse", crf_params=None):
     """Phone/word/sentence duration losses (reference fs2.py:177-219).
 
     is_sil: [B, T_txt] 1.0 at silence phones (computed host-side from the vocab).
+    dur_loss='crf': dur_pred_log is [B, T, 32] emissions and pdur is the CRF NLL
+    -log p(clamp(dur_gt,0,31)) with crf_params = the dur_predictor/crf param dict
+    (reference fs2.py:200-202). wdur/sdur need linear-scale predicted durations,
+    which the crf head has no differentiable form of (the reference crashes if
+    combined); they're skipped under crf.
     """
     b, t_txt = txt_tokens.shape
     nonpadding = (txt_tokens != 0).astype(jnp.float32)
     dur_gt = mel2ph_to_dur(mel2ph, t_txt).astype(jnp.float32) * nonpadding
 
+    if dur_loss == "crf":
+        from diffsinger_tpu.ops.crf import crf_log_partition, crf_score
+        tags = jnp.clip(dur_gt.astype(jnp.int32), 0, 31)
+        mask = (txt_tokens != 0).at[:, 0].set(True)
+        start, end, trans = (crf_params["start_transitions"],
+                             crf_params["end_transitions"],
+                             crf_params["transitions"])
+        ll = (crf_score(dur_pred_log, tags, mask, start, end, trans)
+              - crf_log_partition(dur_pred_log, mask, start, end, trans))
+        losses["pdur"] = -ll.mean() * lambda_ph_dur
+        return
+    if dur_loss != "mse":
+        raise NotImplementedError(dur_loss)
     pdur = (dur_pred_log - jnp.log(dur_gt + 1)) ** 2
     losses["pdur"] = (pdur * nonpadding).sum() / nonpadding.sum() * lambda_ph_dur
     dur_pred = jnp.maximum(jnp.exp(dur_pred_log) - 1, 0)

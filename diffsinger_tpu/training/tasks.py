@@ -214,11 +214,13 @@ class DiffSingerTask:
         losses["mel"] = self.m.gd.training_loss(params["denoiser"], target, t, cond,
                                                 noise)
 
-        self._aux_losses(losses, ret, batch, txt_tokens, mel2ph, f0, uv, energy)
+        self._aux_losses(losses, ret, batch, txt_tokens, mel2ph, f0, uv, energy,
+                         fs2_params=params["fs2"])
         total = sum(losses.values())
         return total, losses
 
-    def _aux_losses(self, losses, ret, batch, txt_tokens, mel2ph, f0, uv, energy):
+    def _aux_losses(self, losses, ret, batch, txt_tokens, mel2ph, f0, uv, energy,
+                    fs2_params=None):
         hp = self.hp
         if self.use_midi:
             L.midi_duration_loss(
@@ -229,10 +231,14 @@ class DiffSingerTask:
                 lambda_sent_dur=hp.get("lambda_sent_dur", 1.0))
         else:
             is_sil = make_is_sil(txt_tokens, self.sil_ids)
+            dur_loss = hp.get("dur_loss", "mse")
+            crf_params = (fs2_params["dur_predictor"]["crf"]
+                          if dur_loss == "crf" else None)
             L.duration_losses(losses, ret["dur"], mel2ph, txt_tokens, is_sil,
                               lambda_ph_dur=hp.get("lambda_ph_dur", 1.0),
                               lambda_word_dur=hp.get("lambda_word_dur", 1.0),
-                              lambda_sent_dur=hp.get("lambda_sent_dur", 1.0))
+                              lambda_sent_dur=hp.get("lambda_sent_dur", 1.0),
+                              dur_loss=dur_loss, crf_params=crf_params)
         if hp.get("use_pitch_embed"):
             nonpadding = (mel2ph != 0).astype(jnp.float32)
             if hp.get("pitch_type") == "cwt":
@@ -368,7 +374,7 @@ class FastSpeech2Task:
         L.add_mel_losses(losses, ret["mel_out"], target,
                          hp.get("mel_loss", "l1"))
         self._diff._aux_losses(losses, ret, batch, txt_tokens, mel2ph, f0, uv,
-                               energy)
+                               energy, fs2_params=params["fs2"])
         total = sum(losses.values())
         return total, losses
 
