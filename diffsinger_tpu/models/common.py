@@ -174,7 +174,15 @@ class EncSALayer(nn.Module):
     kernel_size: int = 9
     act: str = "gelu"
     padding: str = "SAME"
+    norm: str = "ln"  # 'ln' | 'bn' (reference common_layers.py:545-552)
     dtype: Optional[jnp.dtype] = None
+
+    def _norm(self, name: str, x: jnp.ndarray,
+              deterministic: bool) -> jnp.ndarray:
+        if self.norm == "bn":
+            return BatchNorm1dTBC(self.hidden_size, name=name)(
+                x, use_running_average=deterministic)
+        return nn.LayerNorm(name=name)(x)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, padding_mask: jnp.ndarray,
@@ -183,20 +191,146 @@ class EncSALayer(nn.Module):
         nonpad = (~padding_mask).astype(x.dtype)[:, :, None]
         if self.num_heads > 0:
             residual = x
-            x = nn.LayerNorm(name="layer_norm1")(x)
+            x = self._norm("layer_norm1", x, deterministic)
             x = MultiHeadSelfAttention(self.hidden_size, self.num_heads,
                                        dtype=self.dtype, name="self_attn")(
                 x, key_padding_mask=padding_mask, deterministic=deterministic)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             x = (residual + x) * nonpad
         residual = x
-        x = nn.LayerNorm(name="layer_norm2")(x)
+        x = self._norm("layer_norm2", x, deterministic)
         x = ConvFFN(self.hidden_size, 4 * self.hidden_size, self.kernel_size,
                     dropout=self.dropout, act=self.act, padding=self.padding,
                     dtype=self.dtype, name="ffn")(x, deterministic=deterministic)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = (residual + x) * nonpad
         return x
+
+
+class BatchNorm1dTBC(nn.Module):
+    """Per-channel batch norm over (batch, time) — reference common_layers.py:524-539
+    (there on [T, B, C]; here on this codebase's [B, T, C] layout). Reachable via
+    the ``norm: 'bn'`` knob of FFTBlocks/EncSALayer (tts_modules.py:276-278,
+    common_layers.py:549-552). Training updates live in the ``batch_stats``
+    collection (callers must pass ``mutable=['batch_stats']``)."""
+
+    channels: int
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (self.channels,))
+        ra_var = self.variable("batch_stats", "var", jnp.ones, (self.channels,))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = x.shape[0] * x.shape[1]
+            mean = x.mean(axis=(0, 1))
+            var = ((x - mean) ** 2).mean(axis=(0, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                # torch stores the UNBIASED batch variance in running_var
+                ra_var.value = (1 - m) * ra_var.value + m * var * n / max(n - 1, 1)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
+class MultiHeadCrossAttention(nn.Module):
+    """Encoder-decoder attention: queries from the decoder stream, keys/values
+    from ``encoder_out`` (reference common_layers.py:166-273 with
+    encoder_decoder_attention=True, no biases)."""
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, encoder_out: jnp.ndarray,
+                 key_padding_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        b, tq, c = x.shape
+        tk = encoder_out.shape[1]
+        h, hd = self.num_heads, c // self.num_heads
+        q = nn.Dense(c, use_bias=False, name="q_proj", dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform())(x)
+        kv = nn.Dense(2 * c, use_bias=False, name="kv_proj", dtype=self.dtype,
+                      kernel_init=nn.initializers.xavier_uniform())(encoder_out)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(b, tq, h, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
+        k = k.reshape(b, tk, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, tk, h, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if key_padding_mask is not None:
+            scores = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, scores)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, c)
+        return nn.Dense(c, use_bias=False, name="out_proj", dtype=self.dtype,
+                        kernel_init=nn.initializers.xavier_uniform())(out).astype(
+            jnp.float32)
+
+
+class DecSALayer(nn.Module):
+    """Pre-LN transformer *decoder* layer: self-attn -> cross-attn over
+    ``encoder_out`` -> causal (LEFT-padded) conv FFN (reference
+    common_layers.py:591-668). Defined-but-unused by the reference's five
+    pipelines; kept as a library building block for seq2seq candidate decoders."""
+
+    hidden_size: int
+    num_heads: int
+    dropout: float
+    kernel_size: int = 9
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, encoder_out: Optional[jnp.ndarray] = None,
+                 encoder_padding_mask: Optional[jnp.ndarray] = None,
+                 self_attn_padding_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        residual = x
+        x = nn.LayerNorm(name="layer_norm1")(x)
+        x = MultiHeadSelfAttention(self.hidden_size, self.num_heads,
+                                   name="self_attn")(
+            x, key_padding_mask=self_attn_padding_mask,
+            deterministic=deterministic)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = residual + x
+
+        if encoder_out is not None:
+            residual = x
+            x = nn.LayerNorm(name="layer_norm2")(x)
+            x = MultiHeadCrossAttention(self.hidden_size, self.num_heads,
+                                        name="encoder_attn")(
+                x, encoder_out, key_padding_mask=encoder_padding_mask,
+                deterministic=deterministic)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = residual + x
+
+        residual = x
+        x = nn.LayerNorm(name="layer_norm3")(x)
+        x = ConvFFN(self.hidden_size, 4 * self.hidden_size, self.kernel_size,
+                    dropout=self.dropout, act=self.act, padding="LEFT",
+                    name="ffn")(x, deterministic=deterministic)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return residual + x
+
+
+def conv_tbc(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+             pad: int = 0) -> jnp.ndarray:
+    """Time-batch-channel 1D convolution, the semantics of torch's ``conv_tbc``
+    (reference common_layers.py:150-163, class ConvTBC — defined but unused
+    there; provided for API completeness). x: [T, B, Cin], weight:
+    [K, Cin, Cout] -> [T', B, Cout]."""
+    y = jax.lax.conv_general_dilated(
+        jnp.transpose(x, (1, 0, 2)), weight, window_strides=(1,),
+        padding=[(pad, pad)], dimension_numbers=("NHC", "HIO", "NHC"))
+    return jnp.transpose(y, (1, 0, 2)) + bias
 
 
 def embedding_init(key, shape, dtype=jnp.float32):

@@ -16,7 +16,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from diffsinger_tpu.models.common import (Embedding, EncSALayer,
+from diffsinger_tpu.models.common import (BatchNorm1dTBC, Embedding, EncSALayer,
                                           RelPositionalEncoding,
                                           SinusoidalPositionalEmbedding)
 
@@ -32,6 +32,7 @@ class FFTBlocks(nn.Module):
     use_pos_embed_alpha: bool = True
     ffn_act: str = "gelu"
     ffn_padding: str = "SAME"
+    norm: str = "ln"  # 'ln' | 'bn' (reference tts_modules.py:275-280)
     dtype: "Optional[object]" = None
 
     @nn.compact
@@ -54,11 +55,15 @@ class FFTBlocks(nn.Module):
         for i in range(self.num_layers):
             x = EncSALayer(self.hidden_size, self.num_heads, dropout=self.dropout,
                            kernel_size=self.ffn_kernel_size, act=self.ffn_act,
-                           padding=self.ffn_padding, dtype=self.dtype,
-                           name=f"layers_{i}")(
+                           padding=self.ffn_padding, norm=self.norm,
+                           dtype=self.dtype, name=f"layers_{i}")(
                 x, padding_mask, deterministic=deterministic) * nonpad
         if self.use_last_norm:
-            x = nn.LayerNorm(name="layer_norm")(x) * nonpad
+            if self.norm == "bn":
+                x = BatchNorm1dTBC(self.hidden_size, name="layer_norm")(
+                    x, use_running_average=deterministic) * nonpad
+            else:
+                x = nn.LayerNorm(name="layer_norm")(x) * nonpad
         return x
 
 
