@@ -1,0 +1,101 @@
+"""Per-stage HiFiGAN v1 timing on one chip (f32 vs bf16, B=1 x 1024 frames).
+
+Diagnoses where the 97 ms vocoder call goes: conv_pre, each upsample stage
+(ConvTranspose + 3 MRF resblocks) at its own (T, C), and conv_post. Inputs
+stay device-resident; sync is a scalar-sum transfer (through the axon tunnel
+``block_until_ready`` returns early). Run to natural completion — do not kill
+mid-compile (wedges the tunnel).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T_MEL = 1024
+REPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from diffsinger_tpu.models.hifigan import (
+        ConvTranspose1dTorch, HifiGanConfig, HifiGanGenerator, ResBlock1)
+
+    cfg = HifiGanConfig()
+    key = jax.random.PRNGKey(0)
+
+    class Stage(nn.Module):
+        """One upsample stage: lrelu -> ConvTranspose -> avg of 3 resblocks."""
+        ch: int
+        rate: int
+        ksize: int
+
+        @nn.compact
+        def __call__(self, x):
+            x = nn.leaky_relu(x, 0.1)
+            x = ConvTranspose1dTorch(self.ch, self.ksize, self.rate)(x)
+            xs = None
+            for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                             cfg.resblock_dilation_sizes)):
+                b = ResBlock1(self.ch, rk, tuple(rd), name=f"rb{j}")(x)
+                xs = b if xs is None else xs + b
+            return xs / 3
+
+    def timeit(name, fn, *args):
+        jfn = jax.jit(fn)
+        t0 = time.perf_counter()
+        float(jfn(*args).sum())
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            out = jfn(*args)
+        s = float(out.sum())
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"[{name:28s}] {dt * 1000:7.2f} ms   (compile {compile_s:.1f}s, "
+              f"chk {s:.3e})", flush=True)
+        return dt
+
+    # ---- per-stage f32 ----
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(1, T_MEL, 80).astype(np.float32) * 0.5 - 2)
+
+    pre = nn.Conv(cfg.upsample_initial_channel, (7,), padding=[(3, 3)])
+    vpre = pre.init(key, mel)
+    total = timeit("conv_pre 1024x80->512", pre.apply, vpre, mel)
+    x = jax.jit(pre.apply)(vpre, mel)
+
+    t = T_MEL
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        st = Stage(ch, u, k)
+        v = st.init(key, x)
+        t *= u
+        total += timeit(f"stage{i} T={t} C={ch}", st.apply, v, x)
+        x = jax.jit(st.apply)(v, x)
+
+    post = nn.Conv(1, (7,), padding=[(3, 3)])
+    vpost = post.init(key, x)
+    total += timeit(f"conv_post T={t}", post.apply, vpost, x)
+    print(f"[sum of stages              ] {total * 1000:7.2f} ms")
+
+    # ---- full model f32 vs bf16 (param+activation cast) ----
+    gen = HifiGanGenerator(cfg)
+    variables = gen.init(key, mel)
+    timeit("FULL f32", lambda v, m: gen.apply(v, m), variables, mel)
+    vb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), variables)
+    timeit("FULL bf16 cast",
+           lambda v, m: gen.apply(v, m.astype(jnp.bfloat16)).astype(jnp.float32),
+           vb, mel)
+
+
+if __name__ == "__main__":
+    main()
