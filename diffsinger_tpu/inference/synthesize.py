@@ -120,15 +120,22 @@ def synthesize_dataset(hp: Dict[str, Any], task, dataset,
 
 
 class _PEWrapper:
-    def __init__(self, pe_module, variables):
-        import jax.numpy as jnp
-
+    def __init__(self, pe_module, variables, hp):
+        self._hp = hp
         self._fn = jax.jit(lambda mel: pe_module.apply(variables, mel[None],
                                                        train=False))
 
     def predict(self, mel: np.ndarray) -> np.ndarray:
-        out = self._fn(np.asarray(mel))
-        return np.asarray(out["f0_denorm_pred"])[0]
+        from diffsinger_tpu.inference.vocoder import pad_frames
+
+        mel = np.asarray(mel)
+        t = mel.shape[0]
+        t_pad = pad_frames(t, self._hp)  # shape-bucketed: few compiles on TPU
+        if t_pad != t:
+            mel = np.pad(mel, ((0, t_pad - t), (0, 0)),
+                         constant_values=float(mel.min()))
+        out = self._fn(mel)
+        return np.asarray(out["f0_denorm_pred"])[0, :t]
 
 
 def _maybe_load_pe(hp):
@@ -147,4 +154,4 @@ def _maybe_load_pe(hp):
     module = PitchExtractor(PEConfig.from_hparams(hp))
     converted = convert_pe(load_torch_state_dict(path))
     variables = {"params": converted["pe"], "batch_stats": converted["batch_stats"]}
-    return _PEWrapper(module, variables)
+    return _PEWrapper(module, variables, hp)

@@ -29,6 +29,13 @@ def register_vocoder(cls):
     return cls
 
 
+def pad_frames(t: int, hp) -> int:
+    """Round a frame count up to ``vocoder_pad_multiple`` (default 64) so
+    variable-length utterances reuse a small set of compiled shapes on TPU."""
+    mult = int(hp.get("vocoder_pad_multiple", 64))
+    return t if mult <= 1 else -(-t // mult) * mult
+
+
 def get_vocoder_cls(hp) -> Type:
     """Accepts short names ('hifigan') or reference dotted paths
     ('vocoders.hifigan.HifiGAN')."""
@@ -78,7 +85,9 @@ class HifiGAN(BaseVocoder):
                                          or gen_hp.get("use_pitch_embed", False))
         self.cfg = HifiGanConfig.from_hparams(gen_hp) if "upsample_rates" in gen_hp \
             else HifiGanConfig(use_pitch_embed=bool(hp.get("use_nsf", False)),
-                               audio_sample_rate=int(hp["audio_sample_rate"]))
+                               audio_sample_rate=int(hp["audio_sample_rate"]),
+                               compute_dtype=str(hp.get("vocoder_compute_dtype",
+                                                        "float32")))
         self.model = HifiGanGenerator(self.cfg)
         self.params = None
         if ckpt is not None:
@@ -101,16 +110,31 @@ class HifiGAN(BaseVocoder):
 
     def spec2wav(self, mel: np.ndarray, f0: Optional[np.ndarray] = None,
                  rng: Optional[jax.Array] = None) -> np.ndarray:
-        """mel [T, 80] (log10 domain), f0 [T] -> wav [T*hop]."""
+        """mel [T, 80] (log10 domain), f0 [T] -> wav [T*hop].
+
+        Frame counts are padded up to ``vocoder_pad_multiple`` (default 64) so
+        arbitrary utterance lengths hit a handful of compiled XLA shapes
+        instead of one compile per length; the waveform is trimmed back to the
+        exact T*hop samples. Set ``vocoder_pad_multiple: 1`` for
+        shape-exact (reference-identical) runs.
+        """
         if self.params is None:
             return GriffinLim(self.hp).spec2wav(mel)
-        mel_b = jnp.asarray(mel)[None]
+        t = int(mel.shape[0])
+        mel_np = np.asarray(mel)
+        t_pad = pad_frames(t, self.hp)
+        if t_pad != t:
+            mel_np = np.pad(mel_np, ((0, t_pad - t), (0, 0)),
+                            constant_values=float(mel_np.min()))
+            if f0 is not None:
+                f0 = np.pad(np.asarray(f0), (0, t_pad - t))  # padded tail: uv
+        mel_b = jnp.asarray(mel_np)[None]
         if self.cfg.use_pitch_embed and f0 is not None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             wav = self._apply(self.params, mel_b, jnp.asarray(f0)[None], rng)
         else:
             wav = self._apply_nof0(self.params, mel_b)
-        return np.asarray(wav)[0]
+        return np.asarray(wav)[0][: t * self.cfg.total_upsample]
 
 
 @register_vocoder
@@ -169,15 +193,22 @@ class PWG(BaseVocoder):
 
         w = self.cfg.aux_context_window
         hop = int(self.hp["hop_size"])
-        c = np.pad(np.asarray(mel), ((w, w), (0, 0)), "edge")[None]
+        t = int(mel.shape[0])
+        mel_np = np.asarray(mel)
+        t_pad = pad_frames(t, self.hp)
+        if t_pad != t:
+            mel_np = np.pad(mel_np, ((0, t_pad - t), (0, 0)), "edge")
+            if f0 is not None:
+                f0 = np.pad(np.asarray(f0), (0, t_pad - t))
+        c = np.pad(mel_np, ((w, w), (0, 0)), "edge")[None]
         z = np.asarray(jax.random.normal(jax.random.PRNGKey(0),
-                                         (1, mel.shape[0] * hop)))
+                                         (1, t_pad * hop)))
         pitch = None
         if self.cfg.use_pitch_embed and f0 is not None:
             pitch = np.pad(f0_to_coarse_np(np.asarray(f0).copy()), (w, w),
                            "edge")[None]
         wav = self._apply(self.params, z, c, pitch)
-        return np.asarray(wav)[0]
+        return np.asarray(wav)[0][: t * hop]
 
 
 @register_vocoder

@@ -59,6 +59,7 @@ class ConvTranspose1dTorch(nn.Module):
     features: int
     kernel_size: int
     stride: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -67,6 +68,10 @@ class ConvTranspose1dTorch(nn.Module):
                             (self.kernel_size, self.features, in_ch))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         padding = (self.kernel_size - self.stride) // 2
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         return conv_transpose_1d(x, kernel, bias, self.stride, padding)
 
 
@@ -77,6 +82,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -85,11 +91,12 @@ class ResBlock1(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=d,
                          padding=[(pad1, pad1)], kernel_init=normal_conv_init(),
-                         name=f"convs1_{i}")(xt)
+                         dtype=self.dtype, name=f"convs1_{i}")(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             pad2 = (self.kernel_size - 1) // 2
             xt = nn.Conv(self.channels, (self.kernel_size,), padding=[(pad2, pad2)],
-                         kernel_init=normal_conv_init(), name=f"convs2_{i}")(xt)
+                         kernel_init=normal_conv_init(), dtype=self.dtype,
+                         name=f"convs2_{i}")(xt)
             x = x + xt
         return x
 
@@ -100,6 +107,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -108,7 +116,7 @@ class ResBlock2(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=d,
                          padding=[(pad, pad)], kernel_init=normal_conv_init(),
-                         name=f"convs_{i}")(xt)
+                         dtype=self.dtype, name=f"convs_{i}")(xt)
             x = x + xt
         return x
 
@@ -170,10 +178,15 @@ class HifiGanConfig:
     use_pitch_embed: bool = False  # NSF excitation
     audio_sample_rate: int = 22050
     num_mels: int = 80
+    # MXU/bandwidth precision for the conv stacks; params stay f32 and the
+    # final conv_post+tanh always runs f32 (waveform headroom). Opt-in via
+    # hparams 'vocoder_compute_dtype: bfloat16'.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "HifiGanConfig":
         return cls(
+            compute_dtype=str(hp.get("vocoder_compute_dtype", "float32")),
             resblock=str(hp.get("resblock", "1")),
             upsample_rates=tuple(hp["upsample_rates"]),
             upsample_kernel_sizes=tuple(hp["upsample_kernel_sizes"]),
@@ -201,6 +214,7 @@ class HifiGanGenerator(nn.Module):
     def __call__(self, mel: jnp.ndarray, f0: Optional[jnp.ndarray] = None,
                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
         c = self.cfg
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         num_kernels = len(c.resblock_kernel_sizes)
         har_source = None
         if c.use_pitch_embed and f0 is not None:
@@ -212,29 +226,31 @@ class HifiGanGenerator(nn.Module):
                 f0_up, rng)  # [B, T_wav, 1]
 
         x = nn.Conv(c.upsample_initial_channel, (7,), padding=[(3, 3)],
-                    kernel_init=normal_conv_init(), name="conv_pre")(mel)
+                    kernel_init=normal_conv_init(), dtype=dt,
+                    name="conv_pre")(mel)
         resblock_cls = ResBlock1 if c.resblock == "1" else ResBlock2
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            x = ConvTranspose1dTorch(ch, k, u, name=f"ups_{i}")(x)
+            x = ConvTranspose1dTorch(ch, k, u, dtype=dt, name=f"ups_{i}")(x)
             if har_source is not None:
                 if i + 1 < len(c.upsample_rates):
                     stride_f0 = int(np.prod(c.upsample_rates[i + 1:]))
                     src = nn.Conv(ch, (stride_f0 * 2,), strides=(stride_f0,),
                                   padding=[(stride_f0 // 2, stride_f0 // 2)],
-                                  name=f"noise_convs_{i}")(har_source)
+                                  dtype=dt, name=f"noise_convs_{i}")(har_source)
                 else:
-                    src = nn.Conv(ch, (1,), name=f"noise_convs_{i}")(har_source)
+                    src = nn.Conv(ch, (1,), dtype=dt,
+                                  name=f"noise_convs_{i}")(har_source)
                 x = x + src
             xs = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilation_sizes)):
-                block = resblock_cls(ch, rk, tuple(rd),
+                block = resblock_cls(ch, rk, tuple(rd), dtype=dt,
                                      name=f"resblocks_{i * num_kernels + j}")
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels
-        x = nn.leaky_relu(x)
+        x = nn.leaky_relu(x).astype(jnp.float32)
         x = nn.Conv(1, (7,), padding=[(3, 3)], kernel_init=normal_conv_init(),
                     name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

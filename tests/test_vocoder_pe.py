@@ -50,6 +50,26 @@ def test_hifigan_nsf(rng):
     assert wav.shape == (2, 320)
 
 
+def test_hifigan_bf16_tracks_f32(rng):
+    """vocoder_compute_dtype=bfloat16 must keep params f32 and track the f32
+    waveform closely (serving knob; default stays float32)."""
+    mel = jnp.asarray((rng.randn(2, 20, 80) * 0.5).astype(np.float32))
+    gen32 = HifiGanGenerator(SMALL)
+    variables = gen32.init(jax.random.PRNGKey(0), mel)
+    cfg16 = HifiGanConfig(**{**SMALL.__dict__, "compute_dtype": "bfloat16"})
+    gen16 = HifiGanGenerator(cfg16)
+    # identical param tree (dtype is compute-only)
+    v16 = gen16.init(jax.random.PRNGKey(0), mel)
+    assert jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: a.shape == b.shape and a.dtype == jnp.float32,
+        variables["params"], v16["params"]))
+    w32 = np.asarray(gen32.apply(variables, mel))
+    w16 = np.asarray(gen16.apply(variables, mel))
+    assert w16.dtype == np.float32
+    assert np.abs(w16 - w32).max() < 0.05
+    assert np.corrcoef(w16.ravel(), w32.ravel())[0, 1] > 0.999
+
+
 def test_sine_source_frequency(rng):
     sr = 16000
     f0 = jnp.full((1, sr), 200.0)  # 1 second at 200 Hz

@@ -87,14 +87,25 @@ def main():
     total += timeit(f"conv_post T={t}", post.apply, vpost, x)
     print(f"[sum of stages              ] {total * 1000:7.2f} ms")
 
-    # ---- full model f32 vs bf16 (param+activation cast) ----
+    # ---- full model f32 vs bf16 (vocoder_compute_dtype knob), B=1 and B=8 ----
     gen = HifiGanGenerator(cfg)
     variables = gen.init(key, mel)
-    timeit("FULL f32", lambda v, m: gen.apply(v, m), variables, mel)
-    vb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), variables)
-    timeit("FULL bf16 cast",
-           lambda v, m: gen.apply(v, m.astype(jnp.bfloat16)).astype(jnp.float32),
-           vb, mel)
+    cfg16 = HifiGanConfig(**{**cfg.__dict__, "compute_dtype": "bfloat16"})
+    gen16 = HifiGanGenerator(cfg16)
+    for b in (1, 8):
+        melb = jnp.asarray(rng.randn(b, T_MEL, 80).astype(np.float32) * 0.5 - 2)
+        t32 = timeit(f"FULL f32  B={b}", lambda v, m: gen.apply(v, m),
+                     variables, melb)
+        t16 = timeit(f"FULL bf16 B={b}", lambda v, m: gen16.apply(v, m),
+                     variables, melb)
+        audio_s = b * T_MEL * 256 / cfg.audio_sample_rate
+        print(f"  B={b}: RTF f32 {audio_s / t32:.0f}x  bf16 {audio_s / t16:.0f}x"
+              f"  speedup {t32 / t16:.2f}x")
+        w32 = np.asarray(jax.jit(gen.apply)(variables, melb))
+        w16 = np.asarray(jax.jit(gen16.apply)(variables, melb))
+        err = np.abs(w32 - w16).max()
+        corr = np.corrcoef(w32.ravel(), w16.ravel())[0, 1]
+        print(f"  B={b}: bf16 max|err| {err:.4f}  corr {corr:.6f}")
 
 
 if __name__ == "__main__":
