@@ -48,6 +48,15 @@ class BaseSVSInfer:
         self.task, self.params = self.build_model()
         self.vocoder = get_vocoder_cls(hp)(hp)
         self.pe = self._build_pe()
+        self.fused = None
+        if hp.get("fused_infer") and getattr(self.vocoder, "params", None) \
+                is not None:
+            from diffsinger_tpu.inference.serve import FusedSynthesizer
+
+            pe = (self.pe.module, self.pe.variables) if self.pe is not None \
+                else None
+            self.fused = FusedSynthesizer(hp, self.task, self.params,
+                                          self.vocoder, pe=pe)
 
     # ------------------------------------------------------------- builders
     def build_model(self):
@@ -178,6 +187,10 @@ class BaseSVSInfer:
     def forward_model(self, item) -> np.ndarray:
         batch = self.input_to_batch(item)
         t_mel = self.estimate_t_mel(item)
+        if self.fused is not None:
+            # one XLA program: conditioner + reverse scan + PE + vocoder
+            return self.fused(batch, t_mel,
+                              jax.random.PRNGKey(self.hp.get("seed", 1234)))
         out = self.task.inference(self.params, batch,
                                   jax.random.PRNGKey(self.hp.get("seed", 1234)),
                                   t_mel=t_mel, use_gt_dur=False, use_gt_f0=False)

@@ -122,6 +122,8 @@ def synthesize_dataset(hp: Dict[str, Any], task, dataset,
 class _PEWrapper:
     def __init__(self, pe_module, variables, hp):
         self._hp = hp
+        self.module = pe_module      # exposed for the fused serving path
+        self.variables = variables
         self._fn = jax.jit(lambda mel: pe_module.apply(variables, mel[None],
                                                        train=False))
 

@@ -43,5 +43,43 @@ def test_svs_end_to_end_synthesis(tmp_path):
     assert np.isfinite(wav).all()
 
 
+def test_svs_fused_one_jit_synthesis(tmp_path):
+    """fused_infer: FS2 + diffusion scan + NSF-HiFiGAN in one XLA program.
+    Wav must match the unfused path's length contract and stay finite."""
+    import jax
+
+    hp = _svs_hp(tmp_path)
+    hp.update(vocoder="hifigan", fused_infer=True, use_nsf=True,
+              txt_pad_multiple=16,
+              mel_pad_multiple=128,
+              resblock="1", upsample_rates=[4, 4, 4, 2],
+              upsample_kernel_sizes=[8, 8, 8, 4], upsample_initial_channel=16,
+              resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]])
+    infer = DiffSingerCascadeInfer(hp)
+    assert infer.fused is None  # griffinlim fallback has no device params
+    # inject a random-init HiFiGAN so the fused path engages (no ckpt in env)
+    voc = infer.vocoder
+    mel0 = np.zeros((1, 128, 80), np.float32)
+    f00 = np.zeros((1, 128), np.float32)
+    init = voc.model.init(jax.random.PRNGKey(0), mel0, f00, jax.random.PRNGKey(1))
+    voc.params = init["params"]
+    from diffsinger_tpu.inference.serve import FusedSynthesizer
+
+    infer.fused = FusedSynthesizer(hp, infer.task, infer.params, voc)
+    wav = infer.infer_once(EXAMPLE_INPUT)
+    # untrained dur predictor -> few frames, but a whole number of hops
+    assert wav.ndim == 1 and len(wav) >= voc.cfg.total_upsample
+    assert len(wav) % voc.cfg.total_upsample == 0
+    assert np.isfinite(wav).all()
+    # second utterance with a different text length reuses the same program
+    inp2 = dict(EXAMPLE_INPUT)
+    inp2["ph_seq"] = EXAMPLE_INPUT["ph_seq"] + " AP"
+    inp2["note_seq"] = EXAMPLE_INPUT["note_seq"] + " rest"
+    inp2["note_dur_seq"] = EXAMPLE_INPUT["note_dur_seq"] + " 0.1"
+    inp2["is_slur_seq"] = EXAMPLE_INPUT["is_slur_seq"] + " 0"
+    wav2 = infer.infer_once(inp2)
+    assert np.isfinite(wav2).all()
+
+
 def test_vocab_matches_reference_size():
     assert len(CPOP_PHONE_LIST) == 60  # 61-phone vocab incl. reserved handling via TokenTextEncoder
