@@ -23,9 +23,24 @@ def maybe_init_distributed(hp):
               f"{jax.device_count()} devices total")
 
 
+def _apply_platform_env():
+    """Honor ``JAX_PLATFORMS`` explicitly: the axon TPU plugin registers itself
+    regardless of the env var, so CPU smoke runs (JAX_PLATFORMS=cpu) would
+    otherwise silently go through the TPU tunnel."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass  # backends already initialized
+
+
 def run(argv=None):
     from diffsinger_tpu.config import set_hparams
 
+    _apply_platform_env()
     hp = set_hparams(argv=argv, print_hparams=True)
     maybe_init_distributed(hp)
     if hp.get("infer"):

@@ -15,7 +15,10 @@ Capability parity (SURVEY.md §2.6):
                          (silence dur onto yunmu; shengmu/yunmu 50/50 split).
 
 Native F0 extraction (data/pitch_extract.py) replaces parselmouth; the speaker
-embedding path (resemblyzer, absent) is gated off with a warning.
+embedding path (reference base_binarizer.py:130-142, resemblyzer) is an
+injectable protocol: ``speaker_encoder_cls`` names any class exposing
+``embed(wav, sample_rate) -> [D]`` (default: resemblyzer when installed,
+warn-and-skip otherwise).
 """
 
 from __future__ import annotations
@@ -55,6 +58,37 @@ from diffsinger_tpu.utils.misc import load_wav
 from diffsinger_tpu.utils.text_encoder import TokenTextEncoder, build_phone_encoder
 
 BINARIZERS = {}
+
+
+class ResemblyzerEncoder:
+    """Default speaker encoder (reference base_binarizer.py:130-131:
+    ``VoiceEncoder().cuda()`` + ``embed_utterance``). Import is deferred so
+    environments without resemblyzer can still binarize (spk_embed skipped)."""
+
+    def __init__(self):
+        from resemblyzer import VoiceEncoder  # heavy, optional
+
+        self._enc = VoiceEncoder()
+
+    def embed(self, wav: "np.ndarray", sample_rate: int) -> "np.ndarray":
+        return np.asarray(self._enc.embed_utterance(wav), np.float32)
+
+
+def get_speaker_encoder(hp) -> Optional[Any]:
+    """Resolve the injectable speaker-encoder protocol: ``speaker_encoder_cls``
+    is a dotted path (or 'resemblyzer') to a class with
+    ``embed(wav, sample_rate) -> [D] float32``."""
+    name = str(hp.get("speaker_encoder_cls", "resemblyzer"))
+    if name == "resemblyzer":
+        try:
+            return ResemblyzerEncoder()
+        except ImportError:
+            print("| warning: resemblyzer not available; spk_embed skipped")
+            return None
+    import importlib
+
+    mod, cls = name.rsplit(".", 1)
+    return getattr(importlib.import_module(mod), cls)()
 
 
 def register_binarizer(name):
@@ -187,8 +221,9 @@ class BaseBinarizer:
                   open(os.path.join(hp["binary_data_dir"], "spk_map.json"), "w"),
                   ensure_ascii=False)
         self.phone_encoder = self.build_phone_encoder()
-        if self.binarization_args.get("with_spk_embed"):
-            print("| warning: resemblyzer not available; spk_embed skipped")
+        self.spk_encoder = (get_speaker_encoder(hp)
+                            if self.binarization_args.get("with_spk_embed")
+                            else None)
         for prefix in ("valid", "test", "train"):
             self.process_data(prefix)
 
@@ -202,9 +237,15 @@ class BaseBinarizer:
                 for m in meta]
         workers = int(os.getenv("N_PROC", max(1, (os.cpu_count() or 2) // 3)))
         items = _parallel_map(type(self).process_item, args, workers)
+        spk_encoder = getattr(self, "spk_encoder", None)
         for item in items:
             if item is None:
                 continue
+            if spk_encoder is not None and "wav" in item:
+                # embedding in the parent process over the worker-returned wav
+                # (reference base_binarizer.py:139-140)
+                item["spk_embed"] = spk_encoder.embed(
+                    item["wav"], int(hp["audio_sample_rate"]))
             if not self.binarization_args.get("with_wav") and "wav" in item:
                 del item["wav"]
             builder.add_item(item)
@@ -447,9 +488,13 @@ class _MidiMixin:
         args = [list(m[:-1]) + [self.phone_encoder, self.binarization_args, hp,
                                 m[-1]] for m in meta]
         workers = int(os.getenv("N_PROC", max(1, (os.cpu_count() or 2) // 3)))
+        spk_encoder = getattr(self, "spk_encoder", None)
         for item in _parallel_map(type(self).process_item, args, workers):
             if item is None:
                 continue
+            if spk_encoder is not None and "wav" in item:
+                item["spk_embed"] = spk_encoder.embed(
+                    item["wav"], int(hp["audio_sample_rate"]))
             if not self.binarization_args.get("with_wav") and "wav" in item:
                 del item["wav"]
             builder.add_item(item)

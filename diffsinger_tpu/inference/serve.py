@@ -71,12 +71,20 @@ class FusedSynthesizer:
                                       use_gt_f0=self.use_gt_f0)
             mel = out["mel_out"]
             if pe is not None:
+                # PE sees the raw (zero-padded) mel so its own padding mask
+                # (|mel|.sum(-1)==0 -> f0 forced 0) engages on the bucket tail.
                 pe_out = pe[0].apply(pe_vars, mel, train=False)
                 f0 = pe_out["f0_denorm_pred"]
             elif "f0_denorm" in out:
                 f0 = out["f0_denorm"]
             else:
                 f0 = None
+            # gd.sample zero-masks mel2ph==0 frames, and 0 in the log10-mel
+            # domain is HIGH energy: mask bucket padding to the silence floor
+            # before vocoding so the conv receptive field doesn't bleed a loud
+            # padding edge into the last real frames of the trimmed waveform.
+            pad_mask = (out["mel2ph"] > 0)[..., None]
+            mel = jnp.where(pad_mask, mel, jnp.min(mel))
             if use_nsf and f0 is not None:
                 wav = gen.apply({"params": voc_params}, mel, f0, rng_v)
             else:

@@ -40,6 +40,12 @@ _POLYPHONE_FIXES = [("æœ€é•¿", "æœ€å¸¸"), ("é•¿ç«æ¯›", "å¸¸ç«æ¯›"), ("é‚£ä¹ˆé•
 
 
 class BaseSVSInfer:
+    # Which F0 the FUSED one-jit path should use â€” must mirror each subclass's
+    # extract_f0 choice so fused/unfused outputs agree: e2e re-extracts F0 from
+    # the generated mel via PE (ds_e2e.py:41-44); cascade uses the model's
+    # explicit f0_denorm (ds_cascade.py:33) even when pe_enable is set.
+    fused_uses_pe = True
+
     def __init__(self, hp: Dict[str, Any]):
         self.hp = hp
         self.ph_encoder = TokenTextEncoder(CPOP_PHONE_LIST, replace_oov=",")
@@ -53,10 +59,15 @@ class BaseSVSInfer:
                 is not None:
             from diffsinger_tpu.inference.serve import FusedSynthesizer
 
-            pe = (self.pe.module, self.pe.variables) if self.pe is not None \
-                else None
             self.fused = FusedSynthesizer(hp, self.task, self.params,
-                                          self.vocoder, pe=pe)
+                                          self.vocoder, pe=self._fused_pe())
+
+    def _fused_pe(self):
+        """PE handle for the fused path â€” None unless this infer class's
+        extract_f0 actually prefers PE F0 (fused/unfused must agree)."""
+        if self.pe is not None and self.fused_uses_pe:
+            return (self.pe.module, self.pe.variables)
+        return None
 
     # ------------------------------------------------------------- builders
     def build_model(self):
@@ -233,6 +244,8 @@ class DiffSingerE2EInfer(BaseSVSInfer):
 class DiffSingerCascadeInfer(BaseSVSInfer):
     """cascade: explicit F0 from the model's pitch predictor
     (reference inference/svs/ds_cascade.py:33)."""
+
+    fused_uses_pe = False  # fused path must use f0_denorm like extract_f0
 
     def extract_f0(self, out, mel):
         return np.asarray(out["f0_denorm"])[0][: mel.shape[0]]

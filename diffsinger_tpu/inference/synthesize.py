@@ -134,8 +134,10 @@ class _PEWrapper:
         t = mel.shape[0]
         t_pad = pad_frames(t, self._hp)  # shape-bucketed: few compiles on TPU
         if t_pad != t:
-            mel = np.pad(mel, ((0, t_pad - t), (0, 0)),
-                         constant_values=float(mel.min()))
+            # zero padding engages the PE's own pitch_padding mask
+            # (|mel|.sum(-1)==0 in pe.py -> f0 forced to 0 on the tail),
+            # matching reference masking semantics before the [:t] trim.
+            mel = np.pad(mel, ((0, t_pad - t), (0, 0)))
         out = self._fn(mel)
         return np.asarray(out["f0_denorm_pred"])[0, :t]
 

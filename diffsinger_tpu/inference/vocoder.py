@@ -30,9 +30,13 @@ def register_vocoder(cls):
 
 
 def pad_frames(t: int, hp) -> int:
-    """Round a frame count up to ``vocoder_pad_multiple`` (default 64) so
-    variable-length utterances reuse a small set of compiled shapes on TPU."""
-    mult = int(hp.get("vocoder_pad_multiple", 64))
+    """Round a frame count up to ``vocoder_pad_multiple`` so variable-length
+    utterances reuse a small set of compiled shapes on TPU.
+
+    Defaults to 1 (shape-exact, reference-identical numerics); TPU configs opt
+    in via ``vocoder_pad_multiple: 64`` (configs/base.yaml) since boundary
+    frames inside the conv receptive field see padded content."""
+    mult = int(hp.get("vocoder_pad_multiple", 1))
     return t if mult <= 1 else -(-t // mult) * mult
 
 
@@ -112,11 +116,11 @@ class HifiGAN(BaseVocoder):
                  rng: Optional[jax.Array] = None) -> np.ndarray:
         """mel [T, 80] (log10 domain), f0 [T] -> wav [T*hop].
 
-        Frame counts are padded up to ``vocoder_pad_multiple`` (default 64) so
-        arbitrary utterance lengths hit a handful of compiled XLA shapes
-        instead of one compile per length; the waveform is trimmed back to the
-        exact T*hop samples. Set ``vocoder_pad_multiple: 1`` for
-        shape-exact (reference-identical) runs.
+        Frame counts are padded up to ``vocoder_pad_multiple`` (default 1 =
+        shape-exact, reference-identical) so arbitrary utterance lengths can
+        hit a handful of compiled XLA shapes instead of one compile per
+        length; the waveform is trimmed back to the exact T*hop samples.
+        TPU configs opt in via ``vocoder_pad_multiple: 64``.
         """
         if self.params is None:
             return GriffinLim(self.hp).spec2wav(mel)

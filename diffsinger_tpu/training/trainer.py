@@ -41,7 +41,9 @@ def _batch_arrays(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
             if isinstance(v, np.ndarray) and k not in ARRAY_KEYS_EXCLUDE}
 
 
-def build_optimizer(hp: Dict[str, Any], params, rule) -> optax.GradientTransformation:
+def build_optimizer(hp: Dict[str, Any], params, rule,
+                    batches_per_epoch: Optional[int] = None,
+                    ) -> optax.GradientTransformation:
     schedule = build_lr_schedule(hp)
     b1 = float(hp.get("optimizer_adam_beta1", 0.9))
     b2 = float(hp.get("optimizer_adam_beta2", 0.98))
@@ -57,9 +59,21 @@ def build_optimizer(hp: Dict[str, Any], params, rule) -> optax.GradientTransform
     mask = trainable_mask(params, rule)
     labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
     tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
-    accum = int(hp.get("accumulate_grad_batches", 1))
-    if accum > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    accum = hp.get("accumulate_grad_batches", 1)
+    if isinstance(accum, dict):
+        # per-epoch schedule {epoch: factor} (reference
+        # GradientAccumulationScheduler, pl_utils.py:348-372)
+        from diffsinger_tpu.training.schedules import grad_accum_schedule
+
+        if batches_per_epoch is None:
+            raise ValueError(
+                "accumulate_grad_batches as a per-epoch dict needs "
+                "batches_per_epoch (Trainer.fit derives it; set "
+                "trainer.batches_per_epoch when calling initialize directly)")
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=grad_accum_schedule(accum, batches_per_epoch))
+    elif int(accum) > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum))
     return tx
 
 
@@ -77,6 +91,7 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self.tx = None
+        self.batches_per_epoch = None  # needed for dict grad-accum schedules
         self._train_step_fn = None
         self._writer = None
         self.best_val_loss = float("inf")
@@ -90,7 +105,9 @@ class Trainer:
         batch = _batch_arrays(sample_batch)
         self.params = self.task.init_params(rng, batch)
         self.load_warm_start()
-        self.tx = build_optimizer(self.hp, self.params, self.task.trainable_rule())
+        self.tx = build_optimizer(self.hp, self.params,
+                                  self.task.trainable_rule(),
+                                  batches_per_epoch=self.batches_per_epoch)
         self.opt_state = self.tx.init(self.params)
         self.restore()  # auto-resume if checkpoints exist
         self._place()
@@ -297,6 +314,8 @@ class Trainer:
             first = batch
             break
         assert first is not None, "empty training set"
+        if self.batches_per_epoch is None:
+            self.batches_per_epoch = len(train_dataset.batches())
         if self.params is None:
             self.initialize(first)
         self.snapshot_code()

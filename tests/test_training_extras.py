@@ -86,3 +86,73 @@ def test_grad_accumulation(tmp_path):
     d12 = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
         lambda a, b: float(np.abs(a - b).max()), p1, p2)))
     assert d12 > 0.0
+
+
+def test_grad_accum_schedule_fn():
+    """Per-epoch dict schedule maps update counts to factors (reference
+    GradientAccumulationScheduler, pl_utils.py:348-372)."""
+    import pytest
+
+    from diffsinger_tpu.training.schedules import grad_accum_schedule
+
+    # {1:1, 3:2}, 4 batches/epoch: epochs 1-2 at factor 1 = 8 updates,
+    # then factor 2 forever
+    fn = grad_accum_schedule({1: 1, 3: 2}, batches_per_epoch=4)
+    assert int(fn(0)) == 1
+    assert int(fn(7)) == 1
+    assert int(fn(8)) == 2
+    assert int(fn(1000)) == 2
+    # missing epoch-1 key implies {1: 1} (reference :361-362)
+    fn2 = grad_accum_schedule({2: 4}, batches_per_epoch=10)
+    assert int(fn2(0)) == 1
+    assert int(fn2(9)) == 1
+    assert int(fn2(10)) == 4
+    with pytest.raises(TypeError):
+        grad_accum_schedule({}, 4)
+    with pytest.raises(IndexError):
+        grad_accum_schedule({0: 2}, 4)
+
+
+def test_grad_accum_dict_schedule_in_trainer(tmp_path):
+    """accumulate_grad_batches as {epoch: factor}: factor 1 in epoch 1,
+    factor 2 afterwards -- verified by watching when params actually move."""
+    import jax
+
+    from diffsinger_tpu.data.dataset import FastSpeechDataset
+    from diffsinger_tpu.parallel.mesh import make_mesh
+    from diffsinger_tpu.training.tasks import build_task
+    from diffsinger_tpu.training.trainer import Trainer
+    from tests.helpers import make_synthetic_dataset, tiny_hparams
+
+    data_dir = make_synthetic_dataset(str(tmp_path / "ds"))
+    hp = tiny_hparams(data_dir, accumulate_grad_batches={1: 1, 2: 2},
+                      work_dir=str(tmp_path / "exp"))
+    ds = FastSpeechDataset(hp, "train")
+    task = build_task(hp, vocab_size=10)
+    trainer = Trainer(hp, task, mesh=make_mesh(num_data=8))
+    bpe = len(ds.batches())
+    trainer.batches_per_epoch = bpe
+    batch = next(ds.iter_batches())
+    trainer.initialize(batch)
+
+    def snap():
+        return jax.tree_util.tree_map(np.asarray, trainer.params["denoiser"])
+
+    def moved(a, b):
+        return max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda x, y: float(np.abs(x - y).max()), a, b))) > 0.0
+
+    # epoch 1 (bpe mini-batches): factor 1 -> every mini-batch updates
+    prev = snap()
+    for i in range(bpe):
+        trainer.train_step(batch, jax.random.PRNGKey(i))
+        cur = snap()
+        assert moved(prev, cur), f"epoch-1 step {i} should update"
+        prev = cur
+    # epoch 2: factor 2 -> first mini-batch accumulates, second updates
+    trainer.train_step(batch, jax.random.PRNGKey(100))
+    cur = snap()
+    assert not moved(prev, cur), "first accum micro-batch must not update"
+    trainer.train_step(batch, jax.random.PRNGKey(101))
+    cur = snap()
+    assert moved(prev, cur)
