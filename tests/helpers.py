@@ -11,9 +11,24 @@ from diffsinger_tpu.utils.pitch import f0_to_coarse_np
 
 VOCAB = ["a", "b", "c", "d", "sp"]
 
+SPK_EMBED_DIM = 16
+
+
+class StubSpeakerEncoder:
+    """Deterministic stand-in for resemblyzer implementing the injectable
+    speaker-encoder protocol (diffsinger_tpu.data.binarize.get_speaker_encoder):
+    embed(wav, sample_rate) -> [D] float32, derived from the wav content."""
+
+    dim = SPK_EMBED_DIM
+
+    def embed(self, wav, sample_rate):
+        h = int(abs(float(np.asarray(wav)[:1024].sum())) * 1e4) % (2 ** 31)
+        return np.random.RandomState(h).randn(self.dim).astype(np.float32)
+
 
 def make_synthetic_dataset(data_dir: str, n_train: int = 6, n_valid: int = 2,
-                           n_mels: int = 80, midi: bool = False, seed: int = 0):
+                           n_mels: int = 80, midi: bool = False, seed: int = 0,
+                           spk_embed: bool = False):
     rng = np.random.RandomState(seed)
     os.makedirs(data_dir, exist_ok=True)
     with open(os.path.join(data_dir, "phone_set.json"), "w") as f:
@@ -50,6 +65,8 @@ def make_synthetic_dataset(data_dir: str, n_train: int = 6, n_valid: int = 2,
                 "f0_mean": lf0_mean,
                 "f0_std": lf0_std,
             }
+            if spk_embed:
+                item["spk_embed"] = rng.randn(SPK_EMBED_DIM).astype(np.float32)
             if midi:
                 item["pitch_midi"] = rng.randint(50, 70, size=t_txt).astype(np.int64)
                 item["midi_dur"] = (durs * 128 / 24000).astype(np.float32)
