@@ -84,15 +84,24 @@ class SinusoidalPositionalEmbedding(nn.Module):
 
 class RelPositionalEncoding(nn.Module):
     """ESPnet legacy rel-pos: x*sqrt(d) + reversed-position table
-    (reference espnet_positional_embedding.py:89-112; dropout_rate=0 in encoder use)."""
+    (reference espnet_positional_embedding.py:89-112; dropout_rate=0 in encoder
+    use).
+
+    Subtle reference behavior this must replicate: ``extend_pe`` builds the
+    reversed table ONCE at ``max_len`` (5000) and ``forward`` slices its FIRST
+    t rows — so the positions actually added are ``max_len-1 .. max_len-t``,
+    independent of t, not ``t-1 .. 0`` (espnet_positional_embedding.py:24-45,
+    110-112)."""
 
     dim: int
-    max_len: int = 4096
+    max_len: int = 5000
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         seq_len = x.shape[1]
-        table = jnp.asarray(espnet_positional_table(seq_len, self.dim, reverse=True))
+        length = max(self.max_len, seq_len)
+        table = jnp.asarray(
+            espnet_positional_table(length, self.dim, reverse=True)[:seq_len])
         return x * math.sqrt(self.dim) + table[None]
 
 

@@ -123,10 +123,14 @@ class ResBlock2(nn.Module):
 
 def sine_source(f0_up: jnp.ndarray, rng: jax.Array, sample_rate: int,
                 harmonic_num: int = 8, sine_amp: float = 0.1,
-                noise_std: float = 0.003, voiced_threshold: float = 0.0):
+                noise_std: float = 0.003, voiced_threshold: float = 0.0,
+                rand_ini: Optional[jnp.ndarray] = None,
+                noise: Optional[jnp.ndarray] = None):
     """Harmonic sine bank + uv gating + noise (reference source.py SineGen:7-120).
 
     f0_up: [B, T_wav] audio-rate F0. Returns (sine_waves [B, T_wav, H+1], uv).
+    ``rand_ini`` [B, 1, H+1] / ``noise`` [B, T_wav, H+1] override the random
+    draws (parity tests inject the reference's values); default: drawn from rng.
     """
     b, t = f0_up.shape
     dim = harmonic_num + 1
@@ -134,8 +138,9 @@ def sine_source(f0_up: jnp.ndarray, rng: jax.Array, sample_rate: int,
     f0_buf = f0_up[:, :, None] * harmonics[None, None, :]
     rad = (f0_buf / sample_rate) % 1.0
     rng_phase, rng_noise = jax.random.split(rng)
-    rand_ini = jax.random.uniform(rng_phase, (b, 1, dim))
-    rand_ini = rand_ini.at[:, :, 0].set(0.0)
+    if rand_ini is None:
+        rand_ini = jax.random.uniform(rng_phase, (b, 1, dim))
+        rand_ini = rand_ini.at[:, :, 0].set(0.0)
     rad = rad.at[:, 0:1, :].add(rand_ini)
     # mod-1 carry to keep the phase cumsum numerically exact (source.py:63-73)
     tmp_over_one = jnp.cumsum(rad, axis=1) % 1.0
@@ -146,8 +151,9 @@ def sine_source(f0_up: jnp.ndarray, rng: jax.Array, sample_rate: int,
     sines = jnp.sin(phase) * sine_amp
     uv = (f0_up > voiced_threshold).astype(jnp.float32)[:, :, None]
     noise_amp = uv * noise_std + (1 - uv) * sine_amp / 3
-    noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
-    sines = sines * uv + noise
+    if noise is None:
+        noise = jax.random.normal(rng_noise, sines.shape)
+    sines = sines * uv + noise_amp * noise
     return sines, uv
 
 
@@ -160,9 +166,12 @@ class SourceModuleHnNSF(nn.Module):
     add_noise_std: float = 0.003
 
     @nn.compact
-    def __call__(self, f0_up: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    def __call__(self, f0_up: jnp.ndarray, rng: jax.Array,
+                 rand_ini: Optional[jnp.ndarray] = None,
+                 noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         sines, uv = sine_source(f0_up, rng, self.sample_rate, self.harmonic_num,
-                                self.sine_amp, self.add_noise_std)
+                                self.sine_amp, self.add_noise_std,
+                                rand_ini=rand_ini, noise=noise)
         return jnp.tanh(nn.Dense(1, name="l_linear")(sines))  # [B, T_wav, 1]
 
 
@@ -212,7 +221,9 @@ class HifiGanGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray, f0: Optional[jnp.ndarray] = None,
-                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                 rng: Optional[jax.Array] = None,
+                 source_rand_ini: Optional[jnp.ndarray] = None,
+                 source_noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = self.cfg
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         num_kernels = len(c.resblock_kernel_sizes)
@@ -223,7 +234,8 @@ class HifiGanGenerator(nn.Module):
             # nearest-neighbor upsample of F0 to audio rate (torch nn.Upsample)
             f0_up = jnp.repeat(f0, c.total_upsample, axis=1)
             har_source = SourceModuleHnNSF(c.audio_sample_rate, name="m_source")(
-                f0_up, rng)  # [B, T_wav, 1]
+                f0_up, rng, rand_ini=source_rand_ini,
+                noise=source_noise)  # [B, T_wav, 1]
 
         x = nn.Conv(c.upsample_initial_channel, (7,), padding=[(3, 3)],
                     kernel_init=normal_conv_init(), dtype=dt,

@@ -48,7 +48,7 @@ class ConvStacks(nn.Module):
     channels: int = 256
     odim: int = 256
     n_layers: int = 2
-    kernel: int = 3
+    kernel: int = 5  # reference ConvStacks default kernel_size=5 (pe.py:81)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -59,7 +59,9 @@ class ConvStacks(nn.Module):
             h = nn.Conv(self.channels, (self.kernel,), padding=[(pad, pad)],
                         kernel_init=nn.initializers.xavier_uniform(),
                         name=f"conv_{i}")(x)
-            h = nn.GroupNorm(num_groups=self.channels // 16, name=f"norm_{i}")(h)
+            # epsilon=1e-5 matches torch nn.GroupNorm (flax defaults to 1e-6)
+            h = nn.GroupNorm(num_groups=self.channels // 16, epsilon=1e-5,
+                             name=f"norm_{i}")(h)
             h = jax.nn.relu(h)
             x = x + h
         return nn.Dense(self.odim, name="out_proj",
