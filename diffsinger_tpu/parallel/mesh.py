@@ -42,12 +42,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Place numpy batch arrays on the mesh, batch-axis sharded.
+def _local_row_span(sharding: NamedSharding, global_shape) -> tuple:
+    """Contiguous [start, stop) of leading-axis rows owned by this process
+    under ``sharding`` (derived from the addressable-device index map, so it is
+    correct for any device ordering)."""
+    idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
+    spans = []
+    for idx in idx_map.values():
+        s = idx[0]
+        spans.append((s.start or 0,
+                      s.stop if s.stop is not None else global_shape[0]))
+    spans.sort()
+    start, stop = spans[0][0], spans[-1][1]
+    covered = sum(b - a for a, b in spans)
+    assert covered == stop - start, (
+        f"process-local shards not contiguous: {spans}")
+    return start, stop
 
-    Host-local batches from multiple processes are assembled with
-    ``jax.make_array_from_process_local_data`` (multi-host); single-process
-    falls back to ``device_put``.
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Place GLOBAL numpy batch arrays on the mesh, batch-axis sharded.
+
+    Contract mirrors the reference's DDP loading (tasks/tts/tts.py:85-88 —
+    every worker loads the full batch and takes its slice): each process passes
+    the same global batch; multi-process runs slice this host's rows and
+    assemble the global array with ``jax.make_array_from_process_local_data``,
+    single-process falls back to ``device_put``.
     """
     sharding = batch_sharding(mesh)
 
@@ -55,7 +75,9 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
         if not isinstance(x, (np.ndarray, jax.Array)):
             return x
         if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+            x = np.asarray(x)
+            start, stop = _local_row_span(sharding, x.shape)
+            return jax.make_array_from_process_local_data(sharding, x[start:stop])
         return jax.device_put(x, sharding)
 
     return {k: put(v) for k, v in batch.items()}
