@@ -60,7 +60,9 @@ class FusedSynthesizer:
 
     # ------------------------------------------------------------------ build
     def _build(self, t_mel: int):
-        gen = self.vocoder.model
+        # matmul-form forward by default (ops/hifigan_fast.py); falls back to
+        # the flax module when vocoder_backend: module
+        gen_apply = self.vocoder.apply_fn
         use_nsf = bool(self.vocoder.cfg.use_pitch_embed)
         pe = self.pe
 
@@ -86,9 +88,9 @@ class FusedSynthesizer:
             pad_mask = (out["mel2ph"] > 0)[..., None]
             mel = jnp.where(pad_mask, mel, jnp.min(mel))
             if use_nsf and f0 is not None:
-                wav = gen.apply({"params": voc_params}, mel, f0, rng_v)
+                wav = gen_apply(voc_params, mel, f0, rng_v)
             else:
-                wav = gen.apply({"params": voc_params}, mel)
+                wav = gen_apply(voc_params, mel)
             return wav, out["mel2ph"]
 
         return jax.jit(fn)

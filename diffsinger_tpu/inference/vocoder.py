@@ -106,11 +106,30 @@ class HifiGAN(BaseVocoder):
                     break
             self.params = convert_hifigan(sd)
             print(f"| loaded hifigan vocoder from {ckpt}")
-        self._apply = jax.jit(
-            lambda params, mel, f0, rng: self.model.apply(
-                {"params": params}, mel, f0, rng))
-        self._apply_nof0 = jax.jit(
-            lambda params, mel: self.model.apply({"params": params}, mel))
+        self.apply_fn = self._make_apply_fn()
+        self._apply = jax.jit(self.apply_fn)
+        self._apply_nof0 = jax.jit(lambda params, mel: self.apply_fn(params, mel))
+
+    def _make_apply_fn(self):
+        """Forward implementation: 'fast' (default) evaluates the same params
+        through the MXU matmul-form path (ops/hifigan_fast.py) —
+        numerically identical to the module, ~order-of-magnitude faster on
+        TPU; 'module' keeps the canonical flax apply."""
+        backend = str(self.hp.get("vocoder_backend", "fast"))
+        if backend == "module":
+            def fn(params, mel, f0=None, rng=None):
+                if f0 is not None:
+                    return self.model.apply({"params": params}, mel, f0, rng)
+                return self.model.apply({"params": params}, mel)
+            return fn
+        from diffsinger_tpu.ops.hifigan_fast import hifigan_fast_apply
+
+        cfg = self.cfg
+
+        def fn(params, mel, f0=None, rng=None):
+            return hifigan_fast_apply(params, cfg, mel, f0, rng)
+
+        return fn
 
     def spec2wav(self, mel: np.ndarray, f0: Optional[np.ndarray] = None,
                  rng: Optional[jax.Array] = None) -> np.ndarray:
@@ -139,6 +158,26 @@ class HifiGAN(BaseVocoder):
         else:
             wav = self._apply_nof0(self.params, mel_b)
         return np.asarray(wav)[0][: t * self.cfg.total_upsample]
+
+    def spec2wav_batch(self, mels, lengths, f0s=None,
+                       rng: Optional[jax.Array] = None):
+        """Batched vocoding: mels [B, T, 80] (padded), lengths [B] real frame
+        counts, f0s [B, T] -> list of trimmed waveforms. One device call
+        amortizes weights/compile across the batch (the reference vocodes
+        strictly one utterance at a time, vocoders/hifigan.py:55-69)."""
+        if self.params is None:
+            gl = GriffinLim(self.hp)
+            return [gl.spec2wav(np.asarray(m)[:n])
+                    for m, n in zip(mels, lengths)]
+        mels = jnp.asarray(mels)
+        if self.cfg.use_pitch_embed and f0s is not None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            wav = self._apply(self.params, mels, jnp.asarray(f0s), rng)
+        else:
+            wav = self._apply_nof0(self.params, mels)
+        wav = np.asarray(wav)
+        hop = self.cfg.total_upsample
+        return [wav[i, : int(n) * hop] for i, n in enumerate(lengths)]
 
 
 @register_vocoder

@@ -74,14 +74,13 @@ def test_fused_masks_bucket_padding_to_silence_floor(tmp_path):
     assert 0 < n < t_mel_b, "test needs real padding frames in the bucket"
     f0 = out["f0_denorm"]
     hop = infer.vocoder.cfg.total_upsample
-    gen = infer.vocoder.model
 
     masked = jnp.where((out["mel2ph"] > 0)[..., None], mel, jnp.min(mel))
     # the mask must actually change the padding region (gd.sample zero-masks
     # it, and 0 is far from the mel floor in the log10 domain)
     assert np.abs(np.asarray(masked - mel))[0, n:].max() > 0.1
-    wav_masked = np.asarray(gen.apply({"params": infer.vocoder.params},
-                                      masked, f0, rng_v))[0][: n * hop]
+    wav_masked = np.asarray(infer.vocoder.apply_fn(
+        infer.vocoder.params, masked, f0, rng_v))[0][: n * hop]
     np.testing.assert_allclose(wav, wav_masked, atol=1e-5)
 
 
