@@ -60,8 +60,8 @@ class FusedSynthesizer:
 
     # ------------------------------------------------------------------ build
     def _build(self, t_mel: int):
-        # matmul-form forward by default (ops/hifigan_fast.py); falls back to
-        # the flax module when vocoder_backend: module
+        # vocoder forward via the wrapper's configured backend (module by
+        # default; vocoder_backend: fast selects the matmul form)
         gen_apply = self.vocoder.apply_fn
         use_nsf = bool(self.vocoder.cfg.use_pitch_embed)
         pe = self.pe

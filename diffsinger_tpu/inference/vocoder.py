@@ -111,11 +111,12 @@ class HifiGAN(BaseVocoder):
         self._apply_nof0 = jax.jit(lambda params, mel: self.apply_fn(params, mel))
 
     def _make_apply_fn(self):
-        """Forward implementation: 'fast' (default) evaluates the same params
-        through the MXU matmul-form path (ops/hifigan_fast.py) —
-        numerically identical to the module, ~order-of-magnitude faster on
-        TPU; 'module' keeps the canonical flax apply."""
-        backend = str(self.hp.get("vocoder_backend", "fast"))
+        """Forward implementation: 'module' (default) is the canonical flax
+        apply — XLA's native conv lowering wins on TPU (v5e, B=8xT=1024:
+        104 ms / 49% MFU f32 vs 456 ms for the matmul form; see BENCH.md).
+        'fast' keeps the MXU matmul-form path (ops/hifigan_fast.py) as a
+        numerically-identical alternative backend."""
+        backend = str(self.hp.get("vocoder_backend", "module"))
         if backend == "module":
             def fn(params, mel, f0=None, rng=None):
                 if f0 is not None:

@@ -45,8 +45,15 @@ def main():
     _ = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
     dt = (time.perf_counter() - t0) / n
     frames = B * T_MEL
+    from diffsinger_tpu.ops.flops import mfu, train_step_flops
+
+    flops = train_step_flops(hp, B, 128, T_MEL)
     print(f"[train] {dt * 1000:.1f} ms/step  {frames / dt:.0f} mel-frames/s  "
-          f"({frames} frames/batch)", flush=True)
+          f"({frames} frames/batch)  {flops / 1e9:.1f} GFLOP/step  "
+          f"MFU {100 * mfu(flops, dt, 'f32'):.1f}% (f32 peak)", flush=True)
+    # 160k-update reference budget (usr/configs/lj_ds_beta6.yaml:34) at this rate:
+    print(f"[train] 160k updates => {160000 * dt / 3600:.2f} h on one chip",
+          flush=True)
 
 
 if __name__ == "__main__":
