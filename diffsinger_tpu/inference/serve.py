@@ -95,6 +95,93 @@ class FusedSynthesizer:
 
         return jax.jit(fn)
 
+    # ------------------------------------------------------------- micro-batch
+    _BATCH_KEYS = ("txt_tokens", "pitch_midi", "midi_dur", "is_slur",
+                   "spk_ids", "spk_embed")
+
+    def _bucket_b(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, int(self.hp.get("max_serve_batch", 16)))
+
+    def synthesize_many(self, requests, rng: Optional[jax.Array] = None):
+        """Micro-batched synthesis: ``requests`` is a list of (batch, t_mel)
+        pairs, each batch a single-utterance dict as produced by
+        ``BaseSVSInfer.input_to_batch``. Requests are grouped by mel bucket,
+        padded to a common text bucket and a power-of-2 batch bucket, and each
+        group runs as ONE device program — B utterances cost ~1 utterance of
+        fixed conditioner/dispatch overhead instead of B (the reference serves
+        strictly one-by-one, inference/svs/base_svs_infer.py:234-241).
+
+        Returns trimmed waveforms in input order.
+        """
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            self.hp.get("seed", 1234))
+        groups: Dict[int, list] = {}
+        for i, (batch, t_mel) in enumerate(requests):
+            groups.setdefault(_round_up(t_mel, self.mel_mult), []).append(
+                (i, batch))
+        wavs: Dict[int, np.ndarray] = {}
+        for t_mel_b, items in sorted(groups.items()):
+            rng, rng_g = jax.random.split(rng)
+            t_txt_b = _round_up(
+                max(int(b["txt_tokens"].shape[1]) for _, b in items),
+                self.txt_mult)
+            b_pad = self._bucket_b(len(items))
+            stacked: Dict[str, Any] = {}
+            for k in self._BATCH_KEYS:
+                if items[0][1].get(k) is None or not hasattr(items[0][1][k],
+                                                             "shape"):
+                    continue
+                rows = []
+                for _, b in items:
+                    a = np.asarray(b[k])
+                    if a.ndim == 2 and a.shape[1] < t_txt_b:
+                        a = np.pad(a, ((0, 0), (0, t_txt_b - a.shape[1])))
+                    rows.append(a)
+                a = np.concatenate(rows, axis=0)
+                if a.shape[0] < b_pad:  # pad batch rows (discarded after)
+                    a = np.concatenate(
+                        [a] + [a[:1]] * (b_pad - a.shape[0]), axis=0)
+                stacked[k] = a
+            if t_mel_b not in self._fns:
+                self._fns[t_mel_b] = self._build(t_mel_b)
+            pe_vars = self.pe[1] if self.pe is not None else None
+            wav, mel2ph = self._fns[t_mel_b](
+                self.params, self.vocoder.params, pe_vars, stacked, rng_g)
+            wav = np.asarray(wav)
+            mel2ph = np.asarray(mel2ph)
+            hop = self.vocoder.cfg.total_upsample
+            for j, (i, _) in enumerate(items):
+                n = int((mel2ph[j] > 0).sum()) or t_mel_b
+                wavs[i] = wav[j][: n * hop]
+        return [wavs[i] for i in range(len(requests))]
+
+    # ------------------------------------------------------------- AOT warmup
+    def warmup(self, t_mel_buckets, batch_sizes=(1,), t_txt: Optional[int] = None):
+        """Ahead-of-time compile the configured bucket set (XLA ``lower() +
+        compile()``, no execution) so first requests don't pay the multi-minute
+        cold compile BENCH.md warns about. With the persistent compile cache
+        configured, warmup also persists across processes."""
+        t_txt = t_txt or self.txt_mult
+        t_txt = _round_up(t_txt, self.txt_mult)
+        rng = jax.random.PRNGKey(0)
+        for t_mel in t_mel_buckets:
+            t_mel_b = _round_up(t_mel, self.mel_mult)
+            if t_mel_b not in self._fns:
+                self._fns[t_mel_b] = self._build(t_mel_b)
+            for b in batch_sizes:
+                batch = {"txt_tokens": np.ones((b, t_txt), np.int64),
+                         "spk_ids": np.zeros((b,), np.int64)}
+                if self.hp.get("use_midi"):
+                    batch["pitch_midi"] = np.full((b, t_txt), 60, np.int64)
+                    batch["midi_dur"] = np.full((b, t_txt), 0.2, np.float32)
+                    batch["is_slur"] = np.zeros((b, t_txt), np.int64)
+                pe_vars = self.pe[1] if self.pe is not None else None
+                self._fns[t_mel_b].lower(self.params, self.vocoder.params,
+                                         pe_vars, batch, rng).compile()
+
     # ------------------------------------------------------------------- call
     def __call__(self, batch: Dict[str, Any], t_mel: int,
                  rng: Optional[jax.Array] = None) -> np.ndarray:

@@ -81,5 +81,57 @@ def test_svs_fused_one_jit_synthesis(tmp_path):
     assert np.isfinite(wav2).all()
 
 
+def test_fused_microbatch_and_warmup(tmp_path):
+    """synthesize_many groups requests into one program per mel bucket and
+    returns per-request trimmed waveforms identical to single-request calls
+    with the same rng; warmup() AOT-compiles the bucket set without running."""
+    import jax
+
+    hp = _svs_hp(tmp_path)
+    hp.update(vocoder="hifigan", fused_infer=True, use_nsf=True,
+              txt_pad_multiple=16, mel_pad_multiple=128,
+              resblock="1", upsample_rates=[4, 4, 4, 2],
+              upsample_kernel_sizes=[8, 8, 8, 4], upsample_initial_channel=16,
+              resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]])
+    infer = DiffSingerCascadeInfer(hp)
+    voc = infer.vocoder
+    init = voc.model.init(jax.random.PRNGKey(0), np.zeros((1, 128, 80), np.float32),
+                          np.zeros((1, 128), np.float32), jax.random.PRNGKey(1))
+    voc.params = init["params"]
+    from diffsinger_tpu.inference.serve import FusedSynthesizer
+
+    fused = FusedSynthesizer(hp, infer.task, infer.params, voc)
+    fused.warmup([128], batch_sizes=(1, 2), t_txt=16)
+    assert 128 in fused._fns
+
+    item1 = infer.preprocess_input(EXAMPLE_INPUT, "phoneme")
+    inp2 = dict(EXAMPLE_INPUT)
+    inp2["ph_seq"] = EXAMPLE_INPUT["ph_seq"] + " AP"
+    inp2["note_seq"] = EXAMPLE_INPUT["note_seq"] + " rest"
+    inp2["note_dur_seq"] = EXAMPLE_INPUT["note_dur_seq"] + " 0.1"
+    inp2["is_slur_seq"] = EXAMPLE_INPUT["is_slur_seq"] + " 0"
+    item2 = infer.preprocess_input(inp2, "phoneme")
+    reqs = [(infer.input_to_batch(item1), infer.estimate_t_mel(item1)),
+            (infer.input_to_batch(item2), infer.estimate_t_mel(item2))]
+    wavs = fused.synthesize_many(reqs, rng=jax.random.PRNGKey(7))
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and len(w) >= voc.cfg.total_upsample
+        assert np.isfinite(w).all()
+
+
+def test_parity_onchip_artifact():
+    """The committed on-chip parity artifact must exist and pass its baked-in
+    thresholds (tools/verify_onchip.py regenerates it on the real chip)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_ONCHIP.json")
+    d = json.load(open(path))
+    assert d["pass"] is True
+    assert d["backend"] == "tpu"
+    assert d["sampler_bf16_pallas"]["corr"] > 0.999
+
+
 def test_vocab_matches_reference_size():
     assert len(CPOP_PHONE_LIST) == 60  # 61-phone vocab incl. reserved handling via TokenTextEncoder
