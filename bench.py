@@ -45,27 +45,36 @@ def main():
     batch = g._synthetic_batch(rng, b=BATCH, t_txt=T_TXT, t_mel=T_MEL)
     params = task.init_params(jax.random.PRNGKey(0), batch)
 
+    import jax.numpy as jnp
+
     def fn(params, txt_tokens, mel2ph, f0, uv, key):
         out = task.inference(
             params,
             {"txt_tokens": txt_tokens, "mel2ph": mel2ph, "f0": f0, "uv": uv,
              "mels": np.zeros((BATCH, T_MEL, 80), np.float32)},
             key, t_mel=T_MEL, use_gt_dur=True, use_gt_f0=True)
-        return out["mel_out"]
+        # scalar-reduce INSIDE the jit: the sync transfer is then 4 bytes.
+        # (np.asarray of the [B, T, 80] mel measures the dev-tunnel's host
+        # transfer, ~10x the compute; block_until_ready returns early through
+        # the tunnel. The sum depends on every mel element, so nothing is
+        # dead-code-eliminated. On a directly-attached chip the two sync
+        # methods agree.)
+        return jnp.sum(out["mel_out"])
 
     jfn = jax.jit(fn)
     args = (params, batch["txt_tokens"], batch["mel2ph"], batch["f0"],
             batch["uv"], jax.random.PRNGKey(1))
-    # NOTE: sync via host transfer — through the axon tunnel,
-    # block_until_ready() returns before execution completes.
-    np.asarray(jfn(*args))  # compile + warm
+    float(jfn(*args))  # compile + warm
 
-    n_iter = 5
+    n_iter = 10
     t0 = time.perf_counter()
     for i in range(n_iter):
-        out = np.asarray(jfn(params, batch["txt_tokens"], batch["mel2ph"],
-                             batch["f0"], batch["uv"], jax.random.PRNGKey(i)))
+        out = jfn(params, batch["txt_tokens"], batch["mel2ph"],
+                  batch["f0"], batch["uv"], jax.random.PRNGKey(i))
+    float(out)
     dt = (time.perf_counter() - t0) / n_iter
+
+    from diffsinger_tpu.ops.flops import mfu, sampler_flops
 
     frames = BATCH * T_MEL
     frames_per_s = frames / dt
@@ -77,6 +86,7 @@ def main():
         "value": round(frames_per_s, 1),
         "unit": "mel-frames/s/chip",
         "vs_baseline": round(rtf, 2),
+        "mfu": round(mfu(sampler_flops(hp, BATCH, T_TXT, T_MEL), dt, "bf16"), 4),
     }))
 
 

@@ -56,6 +56,10 @@ class FusedSynthesizer:
         self.use_gt_f0 = use_gt_f0
         self.txt_mult = int(hp.get("txt_pad_multiple", 16))
         self.mel_mult = int(hp.get("mel_pad_multiple", 128))
+        # serve_wav_int16: quantize waveforms to PCM16 on device (4x smaller
+        # host transfer; save_wav writes int16 regardless). Off by default so
+        # float consumers (denoise post-proc, tests) see unchanged output.
+        self.wav_int16 = bool(hp.get("serve_wav_int16", False))
         self._fns: Dict[int, Any] = {}  # t_mel bucket -> jitted program
 
     # ------------------------------------------------------------------ build
@@ -91,6 +95,11 @@ class FusedSynthesizer:
                 wav = gen_apply(voc_params, mel, f0, rng_v)
             else:
                 wav = gen_apply(voc_params, mel)
+            if self.wav_int16:
+                # quantize to PCM16 ON DEVICE: the serving contract writes
+                # int16 wavs anyway (utils/misc.save_wav), and this quarters
+                # the device->host transfer, the dominant per-request cost
+                wav = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
             return wav, out["mel2ph"]
 
         return jax.jit(fn)

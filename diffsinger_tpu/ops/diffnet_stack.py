@@ -44,8 +44,10 @@ def _shift_t(arr: jnp.ndarray, offset: int) -> jnp.ndarray:
     return jnp.pad(arr[:, : t + offset], ((0, 0), (-offset, 0), (0, 0)))
 
 
-def _make_kernel(dilations: Sequence[int], num_layers: int):
+def _make_kernel(dilations: Sequence[int], num_layers: int,
+                 compute_dtype=None):
     dilation_set = sorted(set(dilations))
+    dt = compute_dtype
 
     def kernel(dil_idx_ref, x0_ref, step_ref, cond_ref, wdil_ref, bdil_ref,
                wout_ref, bout_ref, out_ref, x_scr, skip_scr):
@@ -59,6 +61,8 @@ def _make_kernel(dilations: Sequence[int], num_layers: int):
         bt, t, c = x_scr.shape
         x = x_scr[:]
         y = x + step_ref[0]  # [Bt, T, C] + [Bt, 1, C]
+        if dt is not None:
+            y = y.astype(dt)  # bf16 MXU inputs; accumulation stays f32
         y2 = y.reshape(bt * t, c)
 
         w0 = wdil_ref[0, 0]
@@ -78,9 +82,11 @@ def _make_kernel(dilations: Sequence[int], num_layers: int):
         side = jax.lax.switch(dil_idx_ref[l],
                               [dil_branch(d) for d in dilation_set], None)
         conv = (center + side + bdil_ref[0]
-                + cond_ref[0].reshape(bt * t, -1))
+                + cond_ref[0].reshape(bt * t, -1).astype(jnp.float32))
         gate, filt = jnp.split(conv, 2, axis=-1)
         g = jax.nn.sigmoid(gate) * jnp.tanh(filt)
+        if dt is not None:
+            g = g.astype(dt)
         out = jnp.dot(g, wout_ref[0],
                       preferred_element_type=jnp.float32) + bout_ref[0]
         residual, skip = jnp.split(out, 2, axis=-1)
@@ -95,12 +101,13 @@ def _make_kernel(dilations: Sequence[int], num_layers: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dilations", "batch_tile", "interpret"))
+                   static_argnames=("dilations", "batch_tile", "interpret",
+                                    "compute_dtype"))
 def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
                   cond_proj: jnp.ndarray, w_dil: jnp.ndarray,
                   b_dil: jnp.ndarray, w_out: jnp.ndarray, b_out: jnp.ndarray,
                   *, dilations: tuple, batch_tile: int = 1,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False, compute_dtype=None) -> jnp.ndarray:
     """Run the fused residual stack.
 
     x0 [B, T, C] (input-projected + relu'd spec); step_proj [L, B, C];
@@ -116,7 +123,11 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
 
     dilation_set = sorted(set(dilations))
     dil_idx = jnp.asarray([dilation_set.index(d) for d in dilations], jnp.int32)
-    kernel = _make_kernel(dilations, num_layers)
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    if cdt is not None:  # bf16 MXU: halves weight/cond HBM streaming too
+        w_dil, w_out = w_dil.astype(cdt), w_out.astype(cdt)
+        cond_proj = cond_proj.astype(cdt)
+    kernel = _make_kernel(dilations, num_layers, compute_dtype=cdt)
     # Mosaic needs the last two block dims to be (8k, 128k) or equal to the
     # array dims — reshape the small per-layer tensors accordingly
     step_proj = step_proj[:, :, None, :]            # [L, B, 1, C]
@@ -155,14 +166,19 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
 
 
 def diffnet_forward_pallas(params: dict, spec: jnp.ndarray, t: jnp.ndarray,
-                           cond_proj: jnp.ndarray, *, dilations: tuple,
-                           batch_tile: int = 1,
-                           interpret: bool = False) -> jnp.ndarray:
+                           cond_proj, *, dilations: tuple,
+                           batch_tile: int = 1, interpret: bool = False,
+                           compute_dtype=None) -> jnp.ndarray:
     """Full DiffNet forward with the fused Pallas stack.
 
     Equivalent to ``DiffNet.__call__(spec, t, cond_proj=cond_proj)``: the cheap
     input/step/skip/output projections run in XLA (they fuse with neighbors);
     the 20-layer gated stack runs in the kernel.
+
+    ``cond_proj`` is either the raw [L, B, T, 2C] projections (weights are
+    packed per call — fine for a single step) or a ``pack_sampling_ctx`` dict
+    (weights + cond pre-packed/cast ONCE per sampler call, hoisted out of the
+    reverse scan; at bf16 this also halves their HBM streaming).
     """
     from diffsinger_tpu.models.diffnet import mish, timestep_embedding
 
@@ -178,16 +194,37 @@ def diffnet_forward_pallas(params: dict, spec: jnp.ndarray, t: jnp.ndarray,
     step_proj = jnp.stack([
         step @ params[f"step_projection_{i}"]["kernel"]
         + params[f"step_projection_{i}"]["bias"] for i in range(num_layers)])
-    w_dil, b_dil, w_out, b_out = pack_diffnet_params(params, num_layers)
+    if isinstance(cond_proj, dict):
+        ctx = cond_proj
+        cond_proj, w_dil, b_dil, w_out, b_out = (
+            ctx["cond_proj"], ctx["w_dil"], ctx["b_dil"], ctx["w_out"],
+            ctx["b_out"])
+    else:
+        w_dil, b_dil, w_out, b_out = pack_diffnet_params(params, num_layers)
     skips = diffnet_stack(x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out,
                           dilations=dilations, batch_tile=batch_tile,
-                          interpret=interpret)
+                          interpret=interpret, compute_dtype=compute_dtype)
     x = skips * (num_layers ** -0.5)
     x = jax.nn.relu(
         jnp.einsum("btc,cd->btd", x, params["skip_projection"]["kernel"][0])
         + params["skip_projection"]["bias"])
     return (jnp.einsum("btc,cm->btm", x, params["output_projection"]["kernel"][0])
             + params["output_projection"]["bias"])
+
+
+def pack_sampling_ctx(params: dict, cond_proj: jnp.ndarray, num_layers: int,
+                      compute_dtype=None) -> dict:
+    """Pack per-layer weights (+ the hoisted conditioner projections) for the
+    sampling scan — ONCE per sampler call instead of once per reverse step.
+    With ``compute_dtype=bfloat16`` the packed weights and the [L, B, T, 2C]
+    cond tensor are stored bf16, halving their per-step HBM streaming."""
+    w_dil, b_dil, w_out, b_out = pack_diffnet_params(params, num_layers)
+    if compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+        w_dil, w_out = w_dil.astype(cdt), w_out.astype(cdt)
+        cond_proj = cond_proj.astype(cdt)
+    return {"cond_proj": cond_proj, "w_dil": w_dil, "b_dil": b_dil,
+            "w_out": w_out, "b_out": b_out}
 
 
 def pack_diffnet_params(params: dict, num_layers: int):

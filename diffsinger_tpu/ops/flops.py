@@ -18,7 +18,12 @@ from typing import Any, Dict
 import numpy as np
 
 # Peak dense matmul FLOP/s per chip. Default: TPU v5e (197 bf16 TFLOP/s per
-# the public spec sheet; f32 runs the MXU at 1/2 rate). Override with
+# the public spec sheet). NOTE on "f32": at XLA's DEFAULT matmul precision,
+# f32 matmuls/convs feed the MXU bf16 inputs (one pass) — so default-precision
+# f32 workloads should be normalized against the bf16 peak too (measured: the
+# f32 Pallas sampler exceeds the "f32 peak" by 1.7x, which is impossible at a
+# true half-rate peak). The f32 entry is the roofline for
+# jax.default_matmul_precision('highest') code paths only. Override with
 # TPU_PEAK_TFLOPS for other generations.
 PEAK_FLOPS = {
     "v5e-bf16": 197e12,

@@ -105,8 +105,16 @@ def build_modules(hp: Dict[str, Any], vocab_size: int) -> TaskModules:
             for i in range(int(hp.get("residual_layers", 20))))
 
         def denoise_fn(params, x, t, cond):
-            # cond: raw [B, T, H] (training) or precomputed per-layer
-            # projections [L, B, T, 2C] (sampling; see DiffNet.precompute_cond)
+            # cond: raw [B, T, H] (training), precomputed per-layer projections
+            # [L, B, T, 2C], or a pack_sampling_ctx dict (sampling: projections
+            # AND packed/cast weights hoisted out of the reverse scan)
+            if isinstance(cond, dict):
+                from diffsinger_tpu.ops.diffnet_stack import \
+                    diffnet_forward_pallas
+
+                return diffnet_forward_pallas(params, x, t, cond,
+                                              dilations=dilations,
+                                              compute_dtype=compute_dtype)
             if cond.ndim == 4:
                 if use_pallas and decoder_type == "wavenet":
                     from diffsinger_tpu.ops.diffnet_stack import \
@@ -298,6 +306,16 @@ class DiffSingerTask:
         if isinstance(self.m.diffnet, DiffNet):
             cond_ctx = self.m.diffnet.apply({"params": params["denoiser"]}, cond,
                                             method=DiffNet.precompute_cond)
+            if hp.get("use_pallas_diffnet"):
+                # also hoist weight packing (+ bf16 cast: halves the dominant
+                # per-step HBM stream, the [L, B, T, 2C] cond tensor)
+                from diffsinger_tpu.ops.diffnet_stack import pack_sampling_ctx
+
+                cdt = jnp.bfloat16 if str(
+                    hp.get("compute_dtype", "float32")) == "bfloat16" else None
+                cond_ctx = pack_sampling_ctx(
+                    params["denoiser"], cond_ctx,
+                    int(hp.get("residual_layers", 20)), compute_dtype=cdt)
         ret["mel_out"] = self.m.gd.sample(params["denoiser"], cond, rng,
                                           fs2_mel=fs2_mel,
                                           tgt_nonpadding=tgt_nonpadding,

@@ -96,3 +96,43 @@ def test_diffnet_stack_kernel_matches_module(rng):
     got = diffnet_stack(x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out,
                         dilations=dilations, batch_tile=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(skips), atol=1e-4)
+
+
+def test_diffnet_forward_packed_ctx_matches_module(rng):
+    """pack_sampling_ctx (weights/cond hoisted out of the reverse scan) must
+    reproduce the module forward; the bf16 variant stays close in f32 terms."""
+    from diffsinger_tpu.ops.diffnet_stack import (diffnet_forward_pallas,
+                                                  pack_sampling_ctx)
+
+    net, params, spec, t, cond = _setup(rng)
+    # perturb: output_projection is zero-init, which would make the comparison
+    # vacuously 0 == 0
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    prng = np.random.RandomState(7)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(p) + 0.05 * prng.randn(*np.shape(p)).astype("f")
+                  for p in leaves])
+    want = np.asarray(net.apply({"params": params}, spec, t, cond))
+    assert np.abs(want).max() > 0.01  # comparison is non-vacuous
+    cond_proj = net.apply({"params": params}, cond,
+                          method=DiffNet.precompute_cond)
+    dilations = tuple(2 ** (i % CYCLE) for i in range(L))
+
+    ctx = pack_sampling_ctx(params, cond_proj, L)
+    got = np.asarray(diffnet_forward_pallas(params, spec, t, ctx,
+                                            dilations=dilations,
+                                            interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    ctx16 = pack_sampling_ctx(params, cond_proj, L,
+                              compute_dtype=jnp.bfloat16)
+    assert ctx16["w_dil"].dtype == jnp.bfloat16
+    assert ctx16["cond_proj"].dtype == jnp.bfloat16
+    got16 = np.asarray(diffnet_forward_pallas(params, spec, t, ctx16,
+                                              dilations=dilations,
+                                              interpret=True,
+                                              compute_dtype=jnp.bfloat16))
+    # bf16 MXU inputs, f32 accumulation: ~1e-2 relative on O(1) activations
+    err = np.abs(got16 - want).max()
+    scale = np.abs(want).max()
+    assert err < 0.05 * scale, (err, scale)

@@ -119,6 +119,15 @@ def test_fused_microbatch_and_warmup(tmp_path):
         assert w.ndim == 1 and len(w) >= voc.cfg.total_upsample
         assert np.isfinite(w).all()
 
+    # serve_wav_int16: on-device PCM16 quantization (4x smaller host copy)
+    hp16 = dict(hp, serve_wav_int16=True)
+    fused16 = FusedSynthesizer(hp16, infer.task, infer.params, voc)
+    w16 = fused16(reqs[0][0], reqs[0][1], rng=jax.random.PRNGKey(7))
+    assert w16.dtype == np.int16
+    wf = fused(reqs[0][0], reqs[0][1], rng=jax.random.PRNGKey(7))
+    np.testing.assert_allclose(
+        w16.astype(np.float32) / 32767.0, np.clip(wf, -1, 1), atol=1 / 32766)
+
 
 def test_parity_onchip_artifact():
     """The committed on-chip parity artifact must exist and pass its baked-in

@@ -2,9 +2,16 @@
 
 BENCH.md: DDPM-71 at B=8x1024 is ~176 ms with a ~1.6 ms marginal denoiser step
 => a fixed ~60 ms that is NOT reverse-diffusion. This bench times each
-component in its own jit at the flagship shape to locate it: FS2 encoder,
-decoder, pitch predictor, length-regulator gather, mel_out, hoisted cond
-projections, single denoiser step (XLA vs Pallas), and the assembled sampler.
+component in its own jit at the flagship shape to locate it.
+
+Measured (2026-08-20, v5e): FS2 skip_decoder 26 ms + decoder FFT stack 35 ms
+== the fixed 60 ms; the decoder runs at ~8% MFU f32 -> fusion/bandwidth-bound.
+
+Sync discipline: reduce outputs to a scalar INSIDE the jit — np.asarray of a
+large output transfers it through the axon tunnel and dominates the
+measurement (336 MB cond_proj measured "1300 ms" that way). Large operands
+must be passed as jit arguments, not closure constants (the tunnel's remote
+compile rejects >100 MB request bodies).
 
 Run to natural completion — killing mid-compile wedges the tunneled device.
 """
@@ -31,7 +38,6 @@ def main():
 
     import __graft_entry__ as g
     from diffsinger_tpu.models.diffnet import DiffNet
-    from diffsinger_tpu.models.fs2 import FastSpeech2
     from diffsinger_tpu.training.tasks import build_task
 
     hp = g._tiny_hp()
@@ -45,14 +51,16 @@ def main():
     fs2, dn = task.m.fs2, task.m.diffnet
 
     def timeit(name, fn, *args):
-        jfn = jax.jit(fn)
+        # scalar-reduce inside the jit: sync costs one 4-byte transfer
+        jfn = jax.jit(
+            lambda *a: jnp.sum(jax.tree_util.tree_leaves(fn(*a))[0]))
         t0 = time.perf_counter()
-        np.asarray(jax.tree_util.tree_leaves(jfn(*args))[0]).ravel()[:1]
+        float(jfn(*args))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(REPS):
             out = jfn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        float(out)
         dt = (time.perf_counter() - t0) / REPS
         print(f"[{name:34s}] {dt * 1000:8.2f} ms  (compile {compile_s:.0f}s)",
               flush=True)
@@ -100,21 +108,23 @@ def main():
         return dn.apply({"params": p}, cond, method=DiffNet.precompute_cond)
     timeit("precompute_cond (20x 256->512)", cproj, params["denoiser"], dec_in)
 
-    # single denoiser step, XLA layerwise
+    # single denoiser step (cond_ctx as an ARGUMENT — 336 MB can't be a
+    # closure constant through the tunnel's remote-compile size limit)
     x0 = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
     tvec = jnp.zeros((B,), jnp.int32)
     cond_ctx = jax.jit(cproj)(params["denoiser"], dec_in)
 
-    def dstep(p, x):
-        return dn.apply({"params": p}, x, tvec, cond_proj=cond_ctx)
-    timeit("denoiser 1 step (XLA f32)", dstep, params["denoiser"], x0)
+    def dstep(p, x, cc):
+        return dn.apply({"params": p}, x, tvec, cond_proj=cc)
+    timeit("denoiser 1 step (XLA f32)", dstep, params["denoiser"], x0, cond_ctx)
 
     from diffsinger_tpu.ops.diffnet_stack import diffnet_forward_pallas
     dils = tuple(1 for _ in range(20))
 
-    def dstep_p(p, x):
-        return diffnet_forward_pallas(p, x, tvec, cond_ctx, dilations=dils)
-    timeit("denoiser 1 step (Pallas f32)", dstep_p, params["denoiser"], x0)
+    def dstep_p(p, x, cc):
+        return diffnet_forward_pallas(p, x, tvec, cc, dilations=dils)
+    timeit("denoiser 1 step (Pallas f32)", dstep_p, params["denoiser"], x0,
+           cond_ctx)
 
     # assembled sampler (bench.py workload) for the total
     def sampler(p, key):
@@ -123,7 +133,18 @@ def main():
                 "mels": np.zeros((B, T_MEL, 80), np.float32)},
             key, t_mel=T_MEL, use_gt_dur=True, use_gt_f0=True)
         return out["mel_out"]
-    timeit("FULL sampler DDPM-71 (f32 XLA)", sampler, params, jax.random.PRNGKey(1))
+    timeit("FULL sampler DDPM-71 (f32 XLA)", sampler, params,
+           jax.random.PRNGKey(1))
+
+    if "--profile" in sys.argv:
+        # dump a profiler trace of the decoder stack for op-level analysis
+        jfn = jax.jit(dec_mod.apply)
+        float(jnp.sum(jfn(dvars, dec_in)))
+        with jax.profiler.trace("/tmp/dec_trace"):
+            for _ in range(5):
+                out = jfn(dvars, dec_in)
+            float(jnp.sum(out))
+        print("| trace written to /tmp/dec_trace", flush=True)
 
 
 if __name__ == "__main__":

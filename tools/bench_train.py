@@ -25,9 +25,15 @@ def main():
               residual_channels=256, timesteps=100, K_step=71, max_beta=0.06,
               schedule_type="linear", pitch_type="frame", lr=0.001,
               decay_steps=50000, clip_grad_norm=1)
+    # variants: bench_train.py [B] [bf16]
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    if "bf16" in sys.argv:
+        hp["compute_dtype"] = "bfloat16"
+    print(f"[train] B={B} compute_dtype={hp.get('compute_dtype', 'float32')}",
+          flush=True)
     task = build_task(hp, vocab_size=80)
     rng = np.random.RandomState(0)
-    B, T_MEL = 24, 1024  # ~max_tokens 24k at 1024-frame bucket
+    T_MEL = 1024  # ~max_tokens 24k at 1024-frame bucket (B=24)
     batch = g._synthetic_batch(rng, b=B, t_txt=128, t_mel=T_MEL)
     mesh = make_mesh(num_data=1)
     trainer = Trainer(hp, task, mesh=mesh, work_dir="/tmp/bench_train")
@@ -48,9 +54,11 @@ def main():
     from diffsinger_tpu.ops.flops import mfu, train_step_flops
 
     flops = train_step_flops(hp, B, 128, T_MEL)
+    # bf16-peak normalization: default-precision f32 matmuls run the MXU at
+    # bf16 input rate (ops/flops.py note)
     print(f"[train] {dt * 1000:.1f} ms/step  {frames / dt:.0f} mel-frames/s  "
           f"({frames} frames/batch)  {flops / 1e9:.1f} GFLOP/step  "
-          f"MFU {100 * mfu(flops, dt, 'f32'):.1f}% (f32 peak)", flush=True)
+          f"MFU {100 * mfu(flops, dt, 'bf16'):.1f}%", flush=True)
     # 160k-update reference budget (usr/configs/lj_ds_beta6.yaml:34) at this rate:
     print(f"[train] 160k updates => {160000 * dt / 3600:.2f} h on one chip",
           flush=True)

@@ -71,9 +71,10 @@ def main():
                 err = 0.0
             else:
                 err = float(np.abs(np.asarray(out) - ref_out[key]).max())
+            # bf16-peak normalization for all dtypes (ops/flops.py note)
             print(f"[{name:6s} {dt:4s} B={b}] {dtavg*1e3:8.2f} ms  "
                   f"RTF {audio_s/dtavg:7.0f}x  "
-                  f"MFU {100*mfu(flops, dtavg, dt if dt=='bf16' else 'f32'):5.1f}%  "
+                  f"MFU {100*mfu(flops, dtavg, 'bf16'):5.1f}%  "
                   f"max|err vs module| {err:.2e}  (compile {compile_s:.1f}s, "
                   f"chk {chk:.4f})", flush=True)
 
