@@ -38,7 +38,8 @@ ARRAY_KEYS_EXCLUDE = ("item_name", "text", "nsamples", "id")
 
 def _batch_arrays(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return {k: v for k, v in batch.items()
-            if isinstance(v, np.ndarray) and k not in ARRAY_KEYS_EXCLUDE}
+            if isinstance(v, (np.ndarray, jax.Array))
+            and k not in ARRAY_KEYS_EXCLUDE}
 
 
 def build_optimizer(hp: Dict[str, Any], params, rule,
@@ -170,6 +171,31 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
+    def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Host->device placement (pad to data shards + shard_batch). Split out
+        of train_step so an input pipeline can prefetch: jax.device_put is
+        async, so placing batch k+1 while step k runs overlaps the copy with
+        compute — at flagship shapes the copy is ~10 MB/step and otherwise
+        serializes with the ~21 ms step."""
+        arrays = _batch_arrays(batch)
+        arrays = pad_batch_for_sharding(arrays, self.mesh.shape["data"])
+        arrays.pop("nsamples", None)
+        return shard_batch(self.mesh, arrays)
+
+    def prefetch(self, batch_iter: Iterator[Dict[str, Any]], size: int = 2
+                 ) -> Iterator[Dict[str, Any]]:
+        """Wrap a host batch iterator with ``size`` batches of device
+        lookahead (the flax prefetch_to_device pattern)."""
+        from collections import deque
+
+        q: deque = deque()
+        for b in batch_iter:
+            q.append(self.prepare_batch(b))
+            if len(q) >= size:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
     def train_step(self, batch: Dict[str, Any], rng: jax.Array):
         switch = self.hp.get("switch_midi2f0_step")
         use_gt_f0 = switch is None or self.global_step <= int(switch)
@@ -178,9 +204,8 @@ class Trainer:
             self._train_step_fn = self._make_train_step(use_gt_f0)
             self._train_step_gt_f0 = use_gt_f0
         arrays = _batch_arrays(batch)
-        arrays = pad_batch_for_sharding(arrays, self.mesh.shape["data"])
-        arrays.pop("nsamples", None)
-        arrays = shard_batch(self.mesh, arrays)
+        if not all(isinstance(v, jax.Array) for v in arrays.values()):
+            arrays = self.prepare_batch(batch)  # not prefetched: place now
         self.params, self.opt_state, losses = self._train_step_fn(
             self.params, self.opt_state, arrays, rng, self.global_step)
         if self.hp.get("print_nan_grads") or self.hp.get("debug"):
@@ -341,8 +366,10 @@ class Trainer:
         epoch = 0
         t0 = time.time()
         while self.global_step < max_updates:
-            for batch in train_dataset.iter_batches(shuffle_batches=True,
-                                                    seed=epoch):
+            # device prefetch: batch k+1's host->device copy overlaps step k
+            for batch in self.prefetch(
+                    train_dataset.iter_batches(shuffle_batches=True,
+                                               seed=epoch)):
                 rng, step_rng = jax.random.split(rng)
                 losses = self.train_step(batch, step_rng)
                 if self.global_step % log_interval == 0:

@@ -43,12 +43,25 @@ def main():
     jax.block_until_ready(trainer.params)
     _ = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
     print(f"[train] init+compile {time.perf_counter() - t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
     n = 10
+    # cold: per-step host->device batch copy (through the dev tunnel this is
+    # ~10 MB over HTTP and dominates; production PCIe makes it ~1 ms)
+    t0 = time.perf_counter()
     for i in range(n):
         losses = trainer.train_step(batch, jax.random.PRNGKey(i))
     _ = float(losses["total_loss"])  # sync
-    _ = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
+    _ = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0].ravel()[:1])
+    dt_cold = (time.perf_counter() - t0) / n
+    print(f"[train] cold (per-step H2D copy): {dt_cold * 1000:.1f} ms/step",
+          flush=True)
+    # pipelined: batch device-resident (what Trainer.fit's prefetch achieves —
+    # the copy of batch k+1 overlaps step k)
+    dev_batch = trainer.prepare_batch(batch)
+    t0 = time.perf_counter()
+    for i in range(n):
+        losses = trainer.train_step(dev_batch, jax.random.PRNGKey(i))
+    _ = float(losses["total_loss"])
+    _ = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0].ravel()[:1])
     dt = (time.perf_counter() - t0) / n
     frames = B * T_MEL
     from diffsinger_tpu.ops.flops import mfu, train_step_flops
