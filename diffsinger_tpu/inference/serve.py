@@ -105,8 +105,16 @@ class FusedSynthesizer:
         return jax.jit(fn)
 
     # ------------------------------------------------------------- micro-batch
-    _BATCH_KEYS = ("txt_tokens", "pitch_midi", "midi_dur", "is_slur",
-                   "spk_ids", "spk_embed")
+    # Keys padded along axis 1 to the TEXT bucket (per-token sequences).
+    _TOKEN_KEYS = ("txt_tokens", "pitch_midi", "midi_dur", "is_slur")
+    # Keys padded along axis 1 to the MEL bucket (per-frame sequences) —
+    # needed by use_gt_dur / use_gt_f0 modes (tasks.py inference reads
+    # batch["mel2ph"/"f0"/"uv"]).
+    _MEL_KEYS = ("mel2ph", "f0", "uv")
+    # Keys stacked as-is: spk_ids is [B], spk_embed is a fixed-width [B, 256]
+    # speaker embedding, NOT a token sequence — padding it to the text bucket
+    # would break the [256, H] spk_embed_proj kernel.
+    _FLAT_KEYS = ("spk_ids", "spk_embed")
 
     def _bucket_b(self, n: int) -> int:
         b = 1
@@ -114,13 +122,46 @@ class FusedSynthesizer:
             b *= 2
         return min(b, int(self.hp.get("max_serve_batch", 16)))
 
+    def _stack_group(self, items, t_txt_b: int, t_mel_b: int) -> Dict[str, Any]:
+        """Stack a list of (idx, batch) single-utterance dicts into one padded
+        batch dict, padding sequence keys to their respective buckets."""
+        b_pad = self._bucket_b(len(items))
+        stacked: Dict[str, Any] = {}
+        for keys, pad_to in ((self._TOKEN_KEYS, t_txt_b),
+                             (self._MEL_KEYS, t_mel_b),
+                             (self._FLAT_KEYS, None)):
+            for k in keys:
+                v0 = items[0][1].get(k)
+                if v0 is None or not hasattr(v0, "shape"):
+                    continue
+                rows = []
+                for _, b in items:
+                    a = np.asarray(b[k])
+                    if pad_to is not None and a.ndim == 2 \
+                            and a.shape[1] < pad_to:
+                        a = np.pad(a, ((0, 0), (0, pad_to - a.shape[1])))
+                    rows.append(a)
+                a = np.concatenate(rows, axis=0)
+                if a.shape[0] < b_pad:  # pad batch rows (discarded after)
+                    a = np.concatenate(
+                        [a] + [a[:1]] * (b_pad - a.shape[0]), axis=0)
+                stacked[k] = a
+        if self.use_gt_dur and "mel2ph" not in stacked:
+            raise ValueError("FusedSynthesizer(use_gt_dur=True) requires "
+                             "'mel2ph' in every request batch")
+        if self.use_gt_f0 and not {"f0", "uv"} <= stacked.keys():
+            raise ValueError("FusedSynthesizer(use_gt_f0=True) requires "
+                             "'f0' and 'uv' in every request batch")
+        return stacked
+
     def synthesize_many(self, requests, rng: Optional[jax.Array] = None):
         """Micro-batched synthesis: ``requests`` is a list of (batch, t_mel)
         pairs, each batch a single-utterance dict as produced by
         ``BaseSVSInfer.input_to_batch``. Requests are grouped by mel bucket,
-        padded to a common text bucket and a power-of-2 batch bucket, and each
-        group runs as ONE device program — B utterances cost ~1 utterance of
-        fixed conditioner/dispatch overhead instead of B (the reference serves
+        chunked to at most ``max_serve_batch`` utterances, padded to a common
+        text bucket and a power-of-2 batch bucket, and each chunk runs as ONE
+        device program — B utterances cost ~1 utterance of fixed
+        conditioner/dispatch overhead instead of B (the reference serves
         strictly one-by-one, inference/svs/base_svs_infer.py:234-241).
 
         Returns trimmed waveforms in input order.
@@ -131,48 +172,38 @@ class FusedSynthesizer:
         for i, (batch, t_mel) in enumerate(requests):
             groups.setdefault(_round_up(t_mel, self.mel_mult), []).append(
                 (i, batch))
+        max_b = int(self.hp.get("max_serve_batch", 16))
         wavs: Dict[int, np.ndarray] = {}
-        for t_mel_b, items in sorted(groups.items()):
-            rng, rng_g = jax.random.split(rng)
-            t_txt_b = _round_up(
-                max(int(b["txt_tokens"].shape[1]) for _, b in items),
-                self.txt_mult)
-            b_pad = self._bucket_b(len(items))
-            stacked: Dict[str, Any] = {}
-            for k in self._BATCH_KEYS:
-                if items[0][1].get(k) is None or not hasattr(items[0][1][k],
-                                                             "shape"):
-                    continue
-                rows = []
-                for _, b in items:
-                    a = np.asarray(b[k])
-                    if a.ndim == 2 and a.shape[1] < t_txt_b:
-                        a = np.pad(a, ((0, 0), (0, t_txt_b - a.shape[1])))
-                    rows.append(a)
-                a = np.concatenate(rows, axis=0)
-                if a.shape[0] < b_pad:  # pad batch rows (discarded after)
-                    a = np.concatenate(
-                        [a] + [a[:1]] * (b_pad - a.shape[0]), axis=0)
-                stacked[k] = a
-            if t_mel_b not in self._fns:
-                self._fns[t_mel_b] = self._build(t_mel_b)
-            pe_vars = self.pe[1] if self.pe is not None else None
-            wav, mel2ph = self._fns[t_mel_b](
-                self.params, self.vocoder.params, pe_vars, stacked, rng_g)
-            wav = np.asarray(wav)
-            mel2ph = np.asarray(mel2ph)
-            hop = self.vocoder.cfg.total_upsample
-            for j, (i, _) in enumerate(items):
-                n = int((mel2ph[j] > 0).sum()) or t_mel_b
-                wavs[i] = wav[j][: n * hop]
+        for t_mel_b, group in sorted(groups.items()):
+            for s in range(0, len(group), max_b):
+                items = group[s:s + max_b]
+                rng, rng_g = jax.random.split(rng)
+                t_txt_b = _round_up(
+                    max(int(b["txt_tokens"].shape[1]) for _, b in items),
+                    self.txt_mult)
+                stacked = self._stack_group(items, t_txt_b, t_mel_b)
+                if t_mel_b not in self._fns:
+                    self._fns[t_mel_b] = self._build(t_mel_b)
+                pe_vars = self.pe[1] if self.pe is not None else None
+                wav, mel2ph = self._fns[t_mel_b](
+                    self.params, self.vocoder.params, pe_vars, stacked, rng_g)
+                wav = np.asarray(wav)
+                mel2ph = np.asarray(mel2ph)
+                hop = self.vocoder.cfg.total_upsample
+                for j, (i, _) in enumerate(items):
+                    n = int((mel2ph[j] > 0).sum()) or t_mel_b
+                    wavs[i] = wav[j][: n * hop]
         return [wavs[i] for i in range(len(requests))]
 
     # ------------------------------------------------------------- AOT warmup
     def warmup(self, t_mel_buckets, batch_sizes=(1,), t_txt: Optional[int] = None):
-        """Ahead-of-time compile the configured bucket set (XLA ``lower() +
-        compile()``, no execution) so first requests don't pay the multi-minute
-        cold compile BENCH.md warns about. With the persistent compile cache
-        configured, warmup also persists across processes."""
+        """Warm the configured bucket set by EXECUTING each jitted program once
+        on dummy inputs (cheap at serving batch sizes) so first real requests
+        don't pay the multi-minute cold compile BENCH.md warns about. Execution
+        (rather than AOT ``lower().compile()``) is required because AOT
+        executables are not reused by the normal ``jfn(...)`` dispatch path;
+        the executed signature (key set + dtypes) must match real requests,
+        which this builds from the synthesizer's own config."""
         t_txt = t_txt or self.txt_mult
         t_txt = _round_up(t_txt, self.txt_mult)
         rng = jax.random.PRNGKey(0)
@@ -187,9 +218,15 @@ class FusedSynthesizer:
                     batch["pitch_midi"] = np.full((b, t_txt), 60, np.int64)
                     batch["midi_dur"] = np.full((b, t_txt), 0.2, np.float32)
                     batch["is_slur"] = np.zeros((b, t_txt), np.int64)
+                if self.use_gt_dur:
+                    batch["mel2ph"] = np.ones((b, t_mel_b), np.int64)
+                if self.use_gt_f0:
+                    batch["f0"] = np.full((b, t_mel_b), 200.0, np.float32)
+                    batch["uv"] = np.zeros((b, t_mel_b), np.float32)
                 pe_vars = self.pe[1] if self.pe is not None else None
-                self._fns[t_mel_b].lower(self.params, self.vocoder.params,
-                                         pe_vars, batch, rng).compile()
+                out = self._fns[t_mel_b](self.params, self.vocoder.params,
+                                         pe_vars, batch, rng)
+                jax.block_until_ready(out)
 
     # ------------------------------------------------------------------- call
     def __call__(self, batch: Dict[str, Any], t_mel: int,

@@ -97,6 +97,8 @@ class Trainer:
         self._writer = None
         self.best_val_loss = float("inf")
         self.plotter = None  # optional validation plot callback
+        self._ckpt_mgr = None  # long-lived Orbax manager (one per Trainer)
+        self._lr_schedule = None  # built once, read every log interval
 
     # ------------------------------------------------------------------ setup
     def initialize(self, sample_batch: Dict[str, Any],
@@ -254,16 +256,27 @@ class Trainer:
     def _ckpt_dir(self) -> str:
         return os.path.join(os.path.abspath(self.work_dir), "ckpts")
 
+    def _manager(self):
+        """One long-lived Orbax CheckpointManager per Trainer (constructing a
+        fresh manager per save rescans the checkpoint dir — wasteful at
+        val_check_interval=2000 with large params)."""
+        import orbax.checkpoint as ocp
+
+        if self._ckpt_mgr is None:
+            keep = int(self.hp.get("num_ckpt_keep", 3))
+            self._ckpt_mgr = ocp.CheckpointManager(
+                self._ckpt_dir(),
+                options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                     create=True))
+        return self._ckpt_mgr
+
     def save_checkpoint(self, val_loss: Optional[float] = None):
         import orbax.checkpoint as ocp
 
-        keep = int(self.hp.get("num_ckpt_keep", 3))
-        with ocp.CheckpointManager(
-                self._ckpt_dir(),
-                options=ocp.CheckpointManagerOptions(max_to_keep=keep,
-                                                     create=True)) as mgr:
-            mgr.save(self.global_step, args=ocp.args.PyTreeSave(
-                {"params": self.params, "opt_state": self.opt_state}))
+        mgr = self._manager()
+        mgr.save(self.global_step, args=ocp.args.PyTreeSave(
+            {"params": self.params, "opt_state": self.opt_state}))
+        mgr.wait_until_finished()
         if val_loss is not None and val_loss < self.best_val_loss:
             self.best_val_loss = val_loss
             np.save(os.path.join(self.work_dir, "best_valid.npy"),
@@ -275,12 +288,12 @@ class Trainer:
         d = self._ckpt_dir()
         if not os.path.isdir(d):
             return False
-        with ocp.CheckpointManager(d) as mgr:
-            step = mgr.latest_step()
-            if step is None:
-                return False
-            restored = mgr.restore(step, args=ocp.args.PyTreeRestore(
-                {"params": self.params, "opt_state": self.opt_state}))
+        mgr = self._manager()
+        step = mgr.latest_step()
+        if step is None:
+            return False
+        restored = mgr.restore(step, args=ocp.args.PyTreeRestore(
+            {"params": self.params, "opt_state": self.opt_state}))
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
         self.global_step = int(step)
@@ -373,8 +386,10 @@ class Trainer:
                 rng, step_rng = jax.random.split(rng)
                 losses = self.train_step(batch, step_rng)
                 if self.global_step % log_interval == 0:
+                    if self._lr_schedule is None:
+                        self._lr_schedule = build_lr_schedule(hp)
                     scalars = {k: float(v) for k, v in losses.items()}
-                    scalars["lr"] = float(build_lr_schedule(hp)(self.global_step))
+                    scalars["lr"] = float(self._lr_schedule(self.global_step))
                     scalars["steps_per_sec"] = log_interval / max(
                         time.time() - t0, 1e-9)
                     t0 = time.time()

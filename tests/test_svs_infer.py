@@ -129,17 +129,66 @@ def test_fused_microbatch_and_warmup(tmp_path):
         w16.astype(np.float32) / 32767.0, np.clip(wf, -1, 1), atol=1 / 32766)
 
 
+def test_stack_group_padding_semantics():
+    """spk_embed is a fixed-width [B, 256] embedding and must NOT be padded to
+    the text bucket (advisor r2); mel-level gt keys pad to the mel bucket;
+    chunking honors max_serve_batch."""
+    from diffsinger_tpu.inference.serve import FusedSynthesizer
+
+    fs = FusedSynthesizer.__new__(FusedSynthesizer)
+    fs.hp = {"max_serve_batch": 2}
+    fs.use_gt_dur = False
+    fs.use_gt_f0 = False
+    items = []
+    for n_txt in (5, 9):
+        items.append((0, {
+            "txt_tokens": np.ones((1, n_txt), np.int64),
+            "spk_embed": np.ones((1, 256), np.float32),
+            "mel2ph": np.ones((1, 300), np.int64),
+            "f0": np.zeros((1, 300), np.float32),
+        }))
+    stacked = fs._stack_group(items, t_txt_b=512, t_mel_b=384)
+    assert stacked["txt_tokens"].shape == (2, 512)
+    assert stacked["spk_embed"].shape == (2, 256)  # untouched by text bucket
+    assert stacked["mel2ph"].shape == (2, 384)  # mel bucket, not text bucket
+    assert stacked["f0"].shape == (2, 384)
+
+    fs.use_gt_f0 = True  # uv missing -> clear error, not a deep KeyError
+    with pytest.raises(ValueError, match="use_gt_f0"):
+        fs._stack_group(items, t_txt_b=512, t_mel_b=384)
+
+
 def test_parity_onchip_artifact():
-    """The committed on-chip parity artifact must exist and pass its baked-in
-    thresholds (tools/verify_onchip.py regenerates it on the real chip)."""
+    """The committed on-chip parity artifact must exist and pass the harness's
+    CURRENT thresholds (tools/verify_onchip.py regenerates it on the real
+    chip). Re-evaluating the live THRESHOLDS (not trusting the artifact's own
+    `pass` flag) plus asserting shape agreement makes a stale artifact fail
+    here when the harness evolves."""
+    import importlib.util
     import json
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_ONCHIP.json")
-    d = json.load(open(path))
+    root = os.path.join(os.path.dirname(__file__), "..")
+    d = json.load(open(os.path.join(root, "PARITY_ONCHIP.json")))
     assert d["pass"] is True
     assert d["backend"] == "tpu"
-    assert d["sampler_bf16_pallas"]["corr"] > 0.999
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_onchip", os.path.join(root, "tools", "verify_onchip.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # staleness gate: the artifact must cover exactly the harness's current
+    # programs at its current shapes
+    assert d["shapes"]["sampler"] == [mod.B, mod.T_TXT, mod.T_MEL]
+    assert d["shapes"]["vocoder"] == [mod.VOC_B, mod.VOC_T]
+    for name, th in mod.THRESHOLDS.items():
+        assert name in d, f"artifact missing program {name} (stale?)"
+        r = d[name]
+        for k, bound in th.items():
+            if k == "corr":
+                assert r[k] >= bound, (name, k, r[k], bound)
+            else:
+                assert r[k] <= bound, (name, k, r[k], bound)
 
 
 def test_vocab_matches_reference_size():
