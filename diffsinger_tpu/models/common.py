@@ -358,11 +358,16 @@ class Embedding(nn.Module):
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        from diffsinger_tpu.ops.gather import gather_rows
+
         table = jnp.asarray(self.param("embedding", embedding_init,
                                        (self.num_embeddings, self.dim)))
         if self.padding_idx is not None:
             table = table.at[self.padding_idx].set(0.0)
-        return jnp.take(table, ids, axis=0)
+        # gather fwd + one-hot matmul bwd: the table-grad scatter-add with
+        # colliding indices serializes on TPU and dominated the train step for
+        # frame-length lookups (pitch_embed: 24k updates into 300 rows)
+        return gather_rows(table, ids)
 
 
 def xavier_dense(features: int, use_bias: bool = True, name: Optional[str] = None):

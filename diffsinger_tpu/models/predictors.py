@@ -160,6 +160,11 @@ def mel2ph_to_dur(mel2ph: jnp.ndarray, t_txt: int,
 
 def expand_by_mel2ph(encoder_out: jnp.ndarray, mel2ph: jnp.ndarray) -> jnp.ndarray:
     """Gather phone features to frames: pad a zero row at index 0 then index with
-    mel2ph (reference modules/fastspeech/fs2.py:128-131). [B,Tt,C],[B,Tm] -> [B,Tm,C]."""
+    mel2ph (reference modules/fastspeech/fs2.py:128-131). [B,Tt,C],[B,Tm] -> [B,Tm,C].
+
+    Uses :func:`diffsinger_tpu.ops.gather.expand_rows` so the backward is a
+    one-hot matmul instead of TPU's serialized scatter-add."""
+    from diffsinger_tpu.ops.gather import expand_rows
+
     padded = jnp.pad(encoder_out, ((0, 0), (1, 0), (0, 0)))
-    return jnp.take_along_axis(padded, mel2ph[:, :, None], axis=1)
+    return expand_rows(padded, mel2ph)

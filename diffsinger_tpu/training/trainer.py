@@ -154,7 +154,9 @@ class Trainer:
         if "use_gt_f0" in type(task).train_loss.__code__.co_varnames:
             kw["use_gt_f0"] = use_gt_f0
 
-        def train_step(params, opt_state, batch, rng, step):
+        # NOTE: no unused args here — every argument is a per-call host->device
+        # upload (a real HTTP round trip through the axon dev tunnel)
+        def train_step(params, opt_state, batch, rng):
             def loss_fn(p):
                 total, losses = task.train_loss(p, batch, rng, global_step=None,
                                                 **kw)
@@ -209,7 +211,7 @@ class Trainer:
         if not all(isinstance(v, jax.Array) for v in arrays.values()):
             arrays = self.prepare_batch(batch)  # not prefetched: place now
         self.params, self.opt_state, losses = self._train_step_fn(
-            self.params, self.opt_state, arrays, rng, self.global_step)
+            self.params, self.opt_state, arrays, rng)
         if self.hp.get("print_nan_grads") or self.hp.get("debug"):
             # debug guard (reference pl_utils.py:1608-1610 print_nan_grads)
             total = float(losses["total_loss"])

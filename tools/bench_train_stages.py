@@ -1,9 +1,18 @@
-"""Locate the training-step bottleneck on one chip (B=24 x 1024, MFU ~7%).
+"""Locate the training-step bottleneck on one chip (flagship shapes B=24 x 1024).
 
-Times fwd+bwd of each component in its own jit at the training shapes:
-loss-like scalar -> grad wrt inputs/params. Prime suspects: backward of the
-gather-based mel2ph expansion (TPU scatter-add), predictor stacks on T_mel,
-aux losses, optimizer update.
+Methodology note (fixes the round-2 version): every timed function is reduced
+to a scalar that depends on EVERY output leaf (sum of sums). The old tool
+summed only ``tree_leaves(out)[0]``, which let XLA dead-code-eliminate most of
+the backward pass — its stages summed to ~21 ms while the real step was 171 ms.
+
+Stages:
+  * full train_loss fwd
+  * full fwd+bwd (grad wrt ALL params)        <- the honest number
+  * fwd+bwd wrt denoiser params only (fs2 frozen)
+  * fwd+bwd wrt fs2 params only (denoiser frozen)
+  * optimizer update
+  * mel2ph expansion fwd / fwd+bwd variants (gather+matmul-vjp vs one-hot)
+  * embedding-table backward: scatter-add vs one-hot matmul (the round-3 fix)
 
 Run to natural completion — killing mid-compile wedges the tunneled device.
 """
@@ -31,7 +40,7 @@ def main():
     import __graft_entry__ as g
     from diffsinger_tpu.models.predictors import expand_by_mel2ph
     from diffsinger_tpu.training.tasks import build_task
-    from diffsinger_tpu.training.trainer import Trainer, build_optimizer
+    from diffsinger_tpu.training.trainer import build_optimizer
 
     rng = np.random.RandomState(0)
     batch = g._synthetic_batch(rng, b=B, t_txt=T_TXT, t_mel=T_MEL)
@@ -39,7 +48,11 @@ def main():
     enc = jnp.asarray(rng.randn(B, T_TXT, H).astype(np.float32))
 
     def timeit(name, fn, *args):
-        jfn = jax.jit(lambda *a: jnp.sum(jax.tree_util.tree_leaves(fn(*a))[0]))
+        def scalar(*a):
+            out = fn(*a)
+            return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out))
+
+        jfn = jax.jit(scalar)
         t0 = time.perf_counter()
         float(jfn(*args))
         compile_s = time.perf_counter() - t0
@@ -48,12 +61,12 @@ def main():
             out = jfn(*args)
         float(out)
         dt = (time.perf_counter() - t0) / REPS
-        print(f"[{name:38s}] {dt * 1000:8.2f} ms  (compile {compile_s:.0f}s)",
+        print(f"[{name:42s}] {dt * 1000:8.2f} ms  (compile {compile_s:.0f}s)",
               flush=True)
         return dt
 
-    # --- expansion fwd+bwd: gather vs one-hot matmul -------------------------
-    def exp_gather_grad(e):
+    # --- expansion fwd+bwd: custom-vjp gather vs one-hot fwd ------------------
+    def exp_grad(e):
         return jax.grad(lambda x: jnp.sum(expand_by_mel2ph(x, mel2ph) ** 2))(e)
 
     def exp_onehot_grad(e):
@@ -62,9 +75,22 @@ def main():
             return jnp.sum(jnp.einsum("bmt,btc->bmc", oh, x) ** 2)
         return jax.grad(f)(e)
 
-    timeit("expand gather fwd", lambda e: expand_by_mel2ph(e, mel2ph), enc)
-    timeit("expand gather fwd+bwd (scatter)", exp_gather_grad, enc)
-    timeit("expand one-hot fwd+bwd (matmul)", exp_onehot_grad, enc)
+    timeit("expand fwd (gather)", lambda e: expand_by_mel2ph(e, mel2ph), enc)
+    timeit("expand fwd+bwd (gather + matmul vjp)", exp_grad, enc)
+    timeit("expand fwd+bwd (one-hot both ways)", exp_onehot_grad, enc)
+
+    # --- embedding-table backward: the round-3 fix, isolated ------------------
+    from diffsinger_tpu.ops.gather import gather_rows
+
+    table = jnp.asarray(rng.randn(300, H).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 300, size=(B, T_MEL)))
+    cot = jnp.asarray(rng.randn(B, T_MEL, H).astype(np.float32))
+    timeit("embed bwd scatter-add (old)",
+           lambda t: jax.grad(
+               lambda tt: jnp.sum(jnp.take(tt, ids, axis=0) * cot))(t), table)
+    timeit("embed bwd one-hot matmul (gather_rows)",
+           lambda t: jax.grad(
+               lambda tt: jnp.sum(gather_rows(tt, ids) * cot))(t), table)
 
     # --- full train step + ablations -----------------------------------------
     hp = g._tiny_hp()
@@ -80,16 +106,21 @@ def main():
         total, _ = task.train_loss(p, arrays, jax.random.PRNGKey(0))
         return total
 
-    def fwd_bwd(p):
-        return jax.grad(fwd_only)(p)
-
-    timeit("task.train_loss fwd", fwd_only, params)
-    timeit("task.train_loss fwd+bwd", fwd_bwd, params)
+    timeit("train_loss fwd", fwd_only, params)
+    timeit("train_loss fwd+bwd (ALL grads)",
+           lambda p: jax.grad(fwd_only)(p), params)
+    timeit("fwd+bwd denoiser grads only",
+           lambda p: jax.grad(
+               lambda d: fwd_only({**p, "denoiser": d}))(p["denoiser"]),
+           params)
+    timeit("fwd+bwd fs2 grads only",
+           lambda p: jax.grad(lambda f: fwd_only({**p, "fs2": f}))(p["fs2"]),
+           params)
 
     # optimizer update alone
     tx = build_optimizer(hp, params, task.trainable_rule())
     opt_state = tx.init(params)
-    grads = jax.jit(fwd_bwd)(params)
+    grads = jax.jit(lambda p: jax.grad(fwd_only)(p))(params)
 
     def opt_step(g_, s_, p_):
         import optax
@@ -98,21 +129,6 @@ def main():
 
     timeit("optimizer update (clip+adamw+mask)", opt_step, grads, opt_state,
            params)
-
-    # aux losses alone (fwd+bwd wrt a decoder_inp-shaped tensor is awkward;
-    # time the full loss minus diffusion by zeroing K... instead: fwd+bwd of
-    # just the diffusion branch with a fixed cond)
-    cond = jnp.asarray(rng.randn(B, T_MEL, H).astype(np.float32))
-
-    def diff_only(p):
-        t = jax.random.randint(jax.random.PRNGKey(1), (B,), 0,
-                               task.m.gd.cfg.k_step)
-        noise = jax.random.normal(jax.random.PRNGKey(2), (B, T_MEL, 80))
-        return task.m.gd.training_loss(p["denoiser"],
-                                       jnp.asarray(batch["mels"]), t, cond,
-                                       noise)
-
-    timeit("diffusion branch fwd+bwd", lambda p: jax.grad(diff_only)(p), params)
 
 
 if __name__ == "__main__":
