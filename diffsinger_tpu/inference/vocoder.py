@@ -123,6 +123,19 @@ class HifiGAN(BaseVocoder):
                     return self.model.apply({"params": params}, mel, f0, rng)
                 return self.model.apply({"params": params}, mel)
             return fn
+        if backend == "mrf":
+            # Pallas-fused MRF stages, XLA convs elsewhere (ops/hifigan_mrf.py)
+            if self.cfg.resblock != "1":
+                raise ValueError("vocoder_backend 'mrf' supports resblock '1' "
+                                 "(the released HiFiGAN v1 configs)")
+            from diffsinger_tpu.ops.hifigan_mrf import hifigan_mrf_apply
+
+            cfg = self.cfg
+
+            def fn(params, mel, f0=None, rng=None):
+                return hifigan_mrf_apply(params, cfg, mel, f0, rng)
+
+            return fn
         from diffsinger_tpu.ops.hifigan_fast import hifigan_fast_apply
 
         cfg = self.cfg

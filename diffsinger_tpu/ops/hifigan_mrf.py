@@ -154,7 +154,7 @@ def fused_mrf(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
               w2: jnp.ndarray, b2: jnp.ndarray, *,
               kernel_sizes: Tuple[int, ...],
               dilation_sets: Tuple[Tuple[int, ...], ...],
-              t_tile: int = 0, interpret: bool = False,
+              t_tile: int = 0, interpret=None,
               compute_dtype=None) -> jnp.ndarray:
     """Fused MRF stage: x [B, T, C] -> mean of resblock chains [B, T, C].
 
@@ -163,6 +163,8 @@ def fused_mrf(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     n_stage, C]. Weights come from :func:`pack_mrf_params`.
     """
     bsz, t, c = x.shape
+    if interpret is None:  # resolved at trace time: Mosaic needs a real TPU
+        interpret = jax.default_backend() != "tpu"
     nb = len(kernel_sizes)
     ns = len(dilation_sets[0])
     k_max = max(kernel_sizes)
@@ -221,24 +223,90 @@ def pack_mrf_params(params: dict, stage_idx: int,
     params: HifiGanGenerator param tree (flax). Returns (w1, b1, w2, b2) with
     w* [n_branch, n_stage, k_max*C, C] (flax conv kernels are [k, C_in, C_out];
     tap-major stacking matches the kernel's X_cat concat order) and
-    b* [n_branch, n_stage, 1, C].
+    b* [n_branch, n_stage, 1, C]. Pure jnp — traceable, so it can run inside
+    the serving jit on traced params (cheap reshapes/pads of small weights).
     """
     k_max = max(kernel_sizes)
     nb = len(kernel_sizes)
     ns = len(dilation_sets[0])
-    w1 = np.zeros((nb, ns, k_max * channels, channels), np.float32)
-    w2 = np.zeros_like(w1)
-    b1 = np.zeros((nb, ns, 1, channels), np.float32)
-    b2 = np.zeros_like(b1)
+    c = channels
+
+    def pack_w(kernel, k):
+        w = jnp.reshape(kernel, (k * c, c))
+        return jnp.pad(w, ((0, (k_max - k) * c), (0, 0)))
+
+    w1b, w2b, b1b, b2b = [], [], [], []
     for j in range(nb):
         k = kernel_sizes[j]
         rb = params[f"resblocks_{stage_idx * nb + j}"]
-        for i in range(ns):
-            w1[j, i, : k * channels] = np.asarray(
-                rb[f"convs1_{i}"]["kernel"]).reshape(k * channels, channels)
-            w2[j, i, : k * channels] = np.asarray(
-                rb[f"convs2_{i}"]["kernel"]).reshape(k * channels, channels)
-            b1[j, i, 0] = np.asarray(rb[f"convs1_{i}"]["bias"])
-            b2[j, i, 0] = np.asarray(rb[f"convs2_{i}"]["bias"])
-    return (jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2),
-            jnp.asarray(b2))
+        w1b.append(jnp.stack([pack_w(rb[f"convs1_{i}"]["kernel"], k)
+                              for i in range(ns)]))
+        w2b.append(jnp.stack([pack_w(rb[f"convs2_{i}"]["kernel"], k)
+                              for i in range(ns)]))
+        b1b.append(jnp.stack([rb[f"convs1_{i}"]["bias"][None, :]
+                              for i in range(ns)]))
+        b2b.append(jnp.stack([rb[f"convs2_{i}"]["bias"][None, :]
+                              for i in range(ns)]))
+    return (jnp.stack(w1b), jnp.stack(b1b), jnp.stack(w2b), jnp.stack(b2b))
+
+
+def hifigan_mrf_apply(params: dict, cfg, mel: jnp.ndarray,
+                      f0=None, rng=None) -> jnp.ndarray:
+    """HiFiGAN forward with Pallas-fused MRF stages (vocoder_backend: 'mrf').
+
+    Numerically identical to ``HifiGanGenerator.apply`` on the same params:
+    conv_pre / ConvTranspose upsamples / NSF noise convs / conv_post stay XLA
+    native convs (measured fastest, BENCH.md round 2); only the 18-conv MRF
+    stack per scale — the bandwidth-bound part XLA cannot fuse — runs in the
+    fused kernel. Reference hot loop: modules/hifigan/hifigan.py:144-168.
+    """
+    from diffsinger_tpu.models.hifigan import (LRELU_SLOPE, conv_transpose_1d,
+                                               sine_source)
+
+    c = cfg
+    dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
+    cast = (lambda a: a.astype(dt)) if dt is not None else (lambda a: a)
+
+    def conv(x, p, *, stride=1, padding):
+        return jax.lax.conv_general_dilated(
+            cast(x), cast(p["kernel"]), window_strides=(stride,),
+            padding=[padding], dimension_numbers=("NHC", "HIO", "NHC")
+        ) + cast(p["bias"])
+
+    har_source = None
+    if c.use_pitch_embed and f0 is not None:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        f0_up = jnp.repeat(f0, c.total_upsample, axis=1)
+        sines, _ = sine_source(f0_up, rng, c.audio_sample_rate)
+        lin = params["m_source"]["l_linear"]
+        har_source = jnp.tanh(
+            jnp.einsum("btc,cd->btd", sines, lin["kernel"]) + lin["bias"])
+
+    x = conv(mel, params["conv_pre"], padding=(3, 3))
+    ks = c.resblock_kernel_sizes
+    ds = tuple(tuple(d) for d in c.resblock_dilation_sizes)
+    for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+        ch = c.upsample_initial_channel // (2 ** (i + 1))
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        ups = params[f"ups_{i}"]
+        pad = (k - u) // 2
+        x = conv_transpose_1d(cast(x), cast(ups["kernel"]), cast(ups["bias"]),
+                              u, pad)
+        if har_source is not None:
+            nc = params[f"noise_convs_{i}"]
+            if i + 1 < len(c.upsample_rates):
+                stride_f0 = int(np.prod(c.upsample_rates[i + 1:]))
+                x = x + conv(har_source, nc, stride=stride_f0,
+                             padding=(stride_f0 // 2, stride_f0 // 2))
+            else:
+                x = x + conv(har_source, nc, padding=(0, 0))
+        w1, b1, w2, b2 = pack_mrf_params(params, i, ks, ds, ch)
+        x = fused_mrf(x.astype(jnp.float32), w1, b1, w2, b2, kernel_sizes=ks,
+                      dilation_sets=ds, compute_dtype=dt)
+    x = jax.nn.leaky_relu(x).astype(jnp.float32)
+    cp = params["conv_post"]
+    x = jax.lax.conv_general_dilated(
+        x, cp["kernel"], window_strides=(1,), padding=[(3, 3)],
+        dimension_numbers=("NHC", "HIO", "NHC")) + cp["bias"]
+    return jnp.tanh(x)[..., 0]

@@ -146,7 +146,7 @@ class Trainer:
             self.opt_state = jax.device_put(self.opt_state, sharding)
 
     # ------------------------------------------------------------------ steps
-    def _make_train_step(self, use_gt_f0: bool = True):
+    def _step_body(self, use_gt_f0: bool = True):
         task, tx = self.task, self.tx
         kw = {}
         # switch_midi2f0_step curriculum (usr/diffsinger_task.py:284-289):
@@ -173,7 +173,53 @@ class Trainer:
             losses["grad_norm"] = optax.global_norm(grads)
             return params, opt_state, losses
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return train_step
+
+    def _make_train_step(self, use_gt_f0: bool = True):
+        return jax.jit(self._step_body(use_gt_f0), donate_argnums=(0, 1))
+
+    def _make_train_step_scan(self, use_gt_f0: bool = True):
+        """K optimizer steps in ONE jit via ``lax.scan`` over stacked batches.
+
+        Each dispatch marshals ~1000 param/optimizer buffer handles; at ~30 ms
+        device-side steps that per-call overhead is material (and through the
+        axon dev tunnel it dominates). K is baked into the compiled program by
+        the stacked batch's leading axis. The reference has no analogue (one
+        Python step per batch, utils/pl_utils.py:1527)."""
+        body = self._step_body(use_gt_f0)
+
+        def multi_step(params, opt_state, batches, rngs):
+            def scan_body(carry, inp):
+                p, s = carry
+                batch, rng = inp
+                p, s, losses = body(p, s, batch, rng)
+                return (p, s), losses
+
+            (params, opt_state), losses = jax.lax.scan(
+                scan_body, (params, opt_state), (batches, rngs))
+            return params, opt_state, losses  # loss leaves stacked [K]
+
+        return jax.jit(multi_step, donate_argnums=(0, 1))
+
+    def train_step_many(self, batches, rng: jax.Array):
+        """Run ``len(batches)`` optimizer steps in one device call. All batches
+        must share shapes (one compile per (shape-signature, K)). Returns the
+        last step's losses (device scalars) plus stacked ``losses_all``."""
+        switch = self.hp.get("switch_midi2f0_step")
+        use_gt_f0 = switch is None or self.global_step <= int(switch)
+        key = (use_gt_f0, len(batches))
+        if getattr(self, "_scan_key", None) != key:
+            self._train_scan_fn = self._make_train_step_scan(use_gt_f0)
+            self._scan_key = key
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[_batch_arrays(b) for b in batches])
+        rngs = jax.random.split(rng, len(batches))
+        self.params, self.opt_state, losses_all = self._train_scan_fn(
+            self.params, self.opt_state, stacked, rngs)
+        self.global_step += len(batches)
+        last = {k: v[-1] for k, v in losses_all.items()}
+        last["losses_all"] = losses_all
+        return last
 
     def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         """Host->device placement (pad to data shards + shard_batch). Split out
@@ -378,39 +424,86 @@ class Trainer:
         if profile_dir:  # jax.profiler trace of the first steps (SURVEY §5)
             jax.profiler.start_trace(profile_dir)
 
+        spc = int(hp.get("train_steps_per_call", 1))
+
+        self._last_log_step = self.global_step
+
+        def handle_boundaries(prev_step, losses):
+            nonlocal profile_dir, t0
+            crossed = lambda iv: (self.global_step // iv) > (prev_step // iv)
+            if crossed(log_interval):
+                if self._lr_schedule is None:
+                    self._lr_schedule = build_lr_schedule(hp)
+                scalars = {k: float(v) for k, v in losses.items()}
+                scalars["lr"] = float(self._lr_schedule(self.global_step))
+                scalars["steps_per_sec"] = (
+                    self.global_step - self._last_log_step) / max(
+                    time.time() - t0, 1e-9)
+                self._last_log_step = self.global_step
+                t0 = time.time()
+                self.log_scalars(scalars)
+                print(f"| step {self.global_step} " + " ".join(
+                    f"{k}={v:.4f}" for k, v in scalars.items()))
+            if crossed(val_interval) and self.global_step > 0:
+                if valid_dataset is not None:
+                    val = self.validate(valid_batches(), plotter=self.plotter)
+                    self.log_scalars(val, prefix="val")
+                    self.save_checkpoint(val.get("total_loss"))
+                else:
+                    self.save_checkpoint()
+            if profile_dir and self.global_step >= 10:
+                jax.profiler.stop_trace()
+                profile_dir = None
+
+        def run_group(group):
+            nonlocal rng
+            rng, step_rng = jax.random.split(rng)
+            prev = self.global_step
+            if len(group) == 1:
+                losses = self.train_step(group[0], step_rng)
+            else:
+                losses = self.train_step_many(group, step_rng)
+                losses.pop("losses_all", None)
+            handle_boundaries(prev, losses)
+
+        def _shape_sig(arrays):
+            return tuple(sorted((k, tuple(v.shape)) for k, v in arrays.items()
+                                if hasattr(v, "shape")))
+
         epoch = 0
         t0 = time.time()
         while self.global_step < max_updates:
             # device prefetch: batch k+1's host->device copy overlaps step k
-            for batch in self.prefetch(
-                    train_dataset.iter_batches(shuffle_batches=True,
-                                               seed=epoch)):
-                rng, step_rng = jax.random.split(rng)
-                losses = self.train_step(batch, step_rng)
-                if self.global_step % log_interval == 0:
-                    if self._lr_schedule is None:
-                        self._lr_schedule = build_lr_schedule(hp)
-                    scalars = {k: float(v) for k, v in losses.items()}
-                    scalars["lr"] = float(self._lr_schedule(self.global_step))
-                    scalars["steps_per_sec"] = log_interval / max(
-                        time.time() - t0, 1e-9)
-                    t0 = time.time()
-                    self.log_scalars(scalars)
-                    print(f"| step {self.global_step} " + " ".join(
-                        f"{k}={v:.4f}" for k, v in scalars.items()))
-                if self.global_step % val_interval == 0 and self.global_step > 0:
-                    if valid_dataset is not None:
-                        val = self.validate(valid_batches(),
-                                            plotter=self.plotter)
-                        self.log_scalars(val, prefix="val")
-                        self.save_checkpoint(val.get("total_loss"))
-                    else:
-                        self.save_checkpoint()
-                if profile_dir and self.global_step == 10:
-                    jax.profiler.stop_trace()
-                    profile_dir = None
-                if self.global_step >= max_updates:
-                    break
+            batch_iter = self.prefetch(
+                train_dataset.iter_batches(shuffle_batches=True, seed=epoch))
+            if spc <= 1:
+                for batch in batch_iter:
+                    run_group([batch])
+                    if self.global_step >= max_updates:
+                        break
+            else:
+                # train_steps_per_call: group same-shape batches, K steps per
+                # device call (lax.scan) — amortizes per-call dispatch. Partial
+                # groups (shape change / epoch end) run as single steps so no
+                # extra K-variant compiles.
+                pending, sig = [], None
+                for batch in batch_iter:
+                    s = _shape_sig(batch)
+                    if pending and s != sig:
+                        for b in pending:
+                            run_group([b])
+                        pending = []
+                    pending.append(batch)
+                    sig = s
+                    if len(pending) == spc:
+                        run_group(pending)
+                        pending = []
+                    if self.global_step >= max_updates:
+                        break
+                for b in pending:
+                    if self.global_step >= max_updates:
+                        break
+                    run_group([b])
             epoch += 1
         if profile_dir:
             jax.profiler.stop_trace()

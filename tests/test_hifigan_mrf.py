@@ -48,3 +48,25 @@ def test_chain_halo():
     # k=11, d=(1,3,5): conv1 halo 5*d + conv2 halo 5 per stage
     assert chain_halo(11, (1, 3, 5)) == (5 + 5) + (15 + 5) + (25 + 5)
     assert chain_halo(3, (1, 3, 5)) == (1 + 1) + (3 + 1) + (5 + 1)
+
+
+def test_hifigan_mrf_apply_matches_module():
+    """Full generator with fused-MRF stages == canonical module apply (NSF on)."""
+    from diffsinger_tpu.models.hifigan import HifiGanConfig, HifiGanGenerator
+    from diffsinger_tpu.ops.hifigan_mrf import hifigan_mrf_apply
+
+    cfg = HifiGanConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=64, resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+        use_pitch_embed=True, audio_sample_rate=22050)
+    gen = HifiGanGenerator(cfg)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 64, 80).astype(np.float32) * 0.5 - 2.0)
+    f0 = jnp.asarray(np.abs(rng.randn(2, 64)).astype(np.float32) * 100 + 100)
+    key = jax.random.PRNGKey(3)
+    variables = gen.init(jax.random.PRNGKey(0), mel, f0, key)
+    want = np.asarray(gen.apply(variables, mel, f0, key))
+    got = np.asarray(hifigan_mrf_apply(variables["params"], cfg, mel, f0, key))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

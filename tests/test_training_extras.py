@@ -156,3 +156,70 @@ def test_grad_accum_dict_schedule_in_trainer(tmp_path):
     trainer.train_step(batch, jax.random.PRNGKey(101))
     cur = snap()
     assert moved(prev, cur)
+
+
+def test_train_step_many_matches_single_steps(tmp_path):
+    """The K-steps-per-call lax.scan path must produce the same per-step
+    losses as K individual train_step calls with the same keys."""
+    import jax
+
+    from diffsinger_tpu.data.dataset import FastSpeechDataset
+    from diffsinger_tpu.parallel.mesh import make_mesh
+    from diffsinger_tpu.training.tasks import build_task
+    from diffsinger_tpu.training.trainer import Trainer
+    from tests.helpers import make_synthetic_dataset, tiny_hparams
+
+    data_dir = make_synthetic_dataset(str(tmp_path / "ds"), n_train=4)
+    K = 3
+
+    def build(tag):
+        hp = tiny_hparams(data_dir, work_dir=str(tmp_path / f"exp_{tag}"))
+        ds = FastSpeechDataset(hp, "train")
+        task = build_task(hp, vocab_size=10)
+        tr = Trainer(hp, task, mesh=make_mesh(num_data=1, devices=jax.devices()[:1]))
+        batch = next(ds.iter_batches(max_sentences=4))
+        tr.initialize(batch)
+        return tr, batch
+
+    key = jax.random.PRNGKey(42)
+    keys = jax.random.split(key, K)
+
+    tr1, batch = build("single")
+    singles = [float(tr1.train_step(batch, keys[i])["total_loss"])
+               for i in range(K)]
+
+    tr2, _ = build("scan")
+    out = tr2.train_step_many([batch] * K, key)
+    scanned = [float(v) for v in out["losses_all"]["total_loss"]]
+    assert tr2.global_step == K
+    np.testing.assert_allclose(scanned, singles, rtol=2e-5, atol=1e-6)
+    # params advanced identically
+    l1 = jax.tree_util.tree_leaves(tr1.params)
+    l2 = jax.tree_util.tree_leaves(tr2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fit_with_train_steps_per_call(tmp_path):
+    """fit() with train_steps_per_call=2 reaches max_updates and checkpoints."""
+    import os
+
+    from diffsinger_tpu.data.dataset import FastSpeechDataset
+    from diffsinger_tpu.parallel.mesh import make_mesh
+    from diffsinger_tpu.training.tasks import build_task
+    from diffsinger_tpu.training.trainer import Trainer
+    from tests.helpers import make_synthetic_dataset, tiny_hparams
+
+    data_dir = make_synthetic_dataset(str(tmp_path / "ds"), n_train=6)
+    hp = tiny_hparams(data_dir, work_dir=str(tmp_path / "exp_spc"),
+                      train_steps_per_call=2, max_updates=6,
+                      val_check_interval=4, log_interval=2,
+                      num_sanity_val_steps=0, save_codes=[])
+    task = build_task(hp, vocab_size=10)
+    tr = Trainer(hp, task, mesh=make_mesh(num_data=8))
+    ds_train = FastSpeechDataset(hp, "train")
+    ds_valid = FastSpeechDataset(hp, "valid")
+    tr.fit(ds_train, ds_valid)
+    assert tr.global_step >= 6
+    assert os.path.isdir(os.path.join(hp["work_dir"], "ckpts"))

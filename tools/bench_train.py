@@ -76,6 +76,22 @@ def main():
     print(f"[train] 160k updates => {160000 * dt / 3600:.2f} h on one chip",
           flush=True)
 
+    # K-steps-per-call scan (train_steps_per_call): amortizes the per-call
+    # dispatch of ~1000 param/opt buffer handles
+    K = 8
+    trainer.train_step_many([dev_batch] * K, jax.random.PRNGKey(100))  # compile
+    _ = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0].ravel()[:1])
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = trainer.train_step_many([dev_batch] * K, jax.random.PRNGKey(i))
+    _ = float(out["total_loss"])
+    _ = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0].ravel()[:1])
+    dt_scan = (time.perf_counter() - t0) / (3 * K)
+    print(f"[train] scan K={K}: {dt_scan * 1000:.1f} ms/step  "
+          f"{frames / dt_scan:.0f} mel-frames/s  "
+          f"MFU {100 * mfu(flops, dt_scan, 'bf16'):.1f}%  "
+          f"(160k => {160000 * dt_scan / 3600:.2f} h)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -29,6 +29,7 @@ def main():
     from diffsinger_tpu.models.hifigan import HifiGanConfig, HifiGanGenerator
     from diffsinger_tpu.ops.flops import hifigan_flops, mfu
     from diffsinger_tpu.ops.hifigan_fast import hifigan_fast_apply
+    from diffsinger_tpu.ops.hifigan_mrf import hifigan_mrf_apply
 
     hp = dict(audio_num_mel_bins=80, upsample_initial_channel=512,
               upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
@@ -46,9 +47,13 @@ def main():
             {"params": p}, m)),
         ("module", "bf16"): jax.jit(lambda p, m: HifiGanGenerator(cfg16).apply(
             {"params": p}, m)),
-        ("fast", "f32"): jax.jit(lambda p, m: hifigan_fast_apply(p, cfg, m)),
-        ("fast", "bf16"): jax.jit(lambda p, m: hifigan_fast_apply(p, cfg16, m)),
+        ("mrf", "f32"): jax.jit(lambda p, m: hifigan_mrf_apply(p, cfg, m)),
+        ("mrf", "bf16"): jax.jit(lambda p, m: hifigan_mrf_apply(p, cfg16, m)),
     }
+    if "fast" in sys.argv:  # round-2 negative result, re-measure on demand
+        fns[("fast", "f32")] = jax.jit(lambda p, m: hifigan_fast_apply(p, cfg, m))
+        fns[("fast", "bf16")] = jax.jit(
+            lambda p, m: hifigan_fast_apply(p, cfg16, m))
 
     ref_out = {}
     for b in (1, 8):

@@ -36,16 +36,25 @@ sys.path.insert(0, REPO)
 
 B, T_TXT, T_MEL = 2, 64, 512
 VOC_B, VOC_T = 2, 256
+# production-ish shapes for the HIGHEST-precision sampler structural control
+# (round-2 VERDICT item 4: B>=4, T>=1024)
+HP_B, HP_T_TXT, HP_T_MEL = 4, 128, 1024
+TR_B, TR_T_TXT, TR_T_MEL = 4, 64, 512
 
 # thresholds: observed values (see PARITY_ONCHIP.json) with ~3x margin.
 # The sampler output is a log10-mel in roughly [-6, 1.5]; after 71 chaotic
 # reverse steps tiny per-step rounding walks the trajectory, so correlation
-# and RMS (not max-abs) are the meaningful sampler criteria.
+# and RMS (not max-abs) are the meaningful sampler criteria for the
+# default-precision entries; the HIGHEST-precision entries are the structural
+# proofs and get tight max-abs bounds.
 THRESHOLDS = {
     # observed (PARITY_ONCHIP.json): rms 0.0121 / corr 0.999988
     "sampler_f32": {"rms_err": 0.05, "corr": 0.999},
     # observed: rms 0.0123 / corr 0.999988 — bf16+Pallas adds ~2% on top of f32
     "sampler_bf16_pallas": {"rms_err": 0.06, "corr": 0.999},
+    # HIGHEST-precision structural control at B=4 x 1024 through the full
+    # conditioner + 71-step scan (observed r3: max 1.7e-6 on a [-6,1.5] range)
+    "sampler_f32_highest": {"max_abs_err": 1e-5, "corr": 0.9999999},
     # observed: rms 1.15e-5 / corr 0.99998 on a 1.5e-3-rms waveform
     "vocoder_f32": {"rms_err": 1e-4, "corr": 0.999},
     # observed: max 1.7e-8 — with HIGHEST matmul precision the TPU program is
@@ -53,34 +62,81 @@ THRESHOLDS = {
     # XLA's bf16-input matmul pass, not the implementation
     "vocoder_f32_highest": {"max_abs_err": 2e-6, "corr": 0.9999999},
     "vocoder_bf16": {"rms_err": 2e-4, "corr": 0.999},
+    # one jitted train step (grads + clip + AdamW) on chip at HIGHEST
+    # precision vs the CPU f32 oracle: loss scalar + updated-param deviation
+    "train_step_highest": {"loss_rel_err": 1e-5, "param_max_abs_err": 1e-5},
+    # production default-precision train step: bf16-input matmuls move the
+    # loss at ~1e-3 rel; the update direction must stay aligned
+    "train_step_default": {"loss_rel_err": 5e-3, "grad_norm_rel_err": 5e-2},
+    # 50 steps on chip: loss must descend (smoke that training actually works
+    # end-to-end on hardware, not just one verified step)
+    "train_descend_50": {"loss_ratio": 0.9},
 }
 
 
-def _build_sampler(hp_overrides):
-    import jax
-
+def _flagship_hp(hp_overrides):
     import __graft_entry__ as g
-    from diffsinger_tpu.training.tasks import build_task
 
     hp = g._tiny_hp()
     hp.update(hidden_size=256, enc_layers=4, dec_layers=4, residual_layers=20,
               residual_channels=256, timesteps=100, K_step=71, max_beta=0.06,
               schedule_type="linear", pitch_type="frame")
     hp.update(hp_overrides)
+    return hp
+
+
+def _build_sampler(hp_overrides, b=B, t_txt=T_TXT, t_mel=T_MEL):
+    import jax
+
+    import __graft_entry__ as g
+    from diffsinger_tpu.training.tasks import build_task
+
+    hp = _flagship_hp(hp_overrides)
     task = build_task(hp, vocab_size=80)
     rng = np.random.RandomState(0)
-    batch = g._synthetic_batch(rng, b=B, t_txt=T_TXT, t_mel=T_MEL)
+    batch = g._synthetic_batch(rng, b=b, t_txt=t_txt, t_mel=t_mel)
 
     def fn(params, key):
         out = task.inference(
             params,
             {"txt_tokens": batch["txt_tokens"], "mel2ph": batch["mel2ph"],
              "f0": batch["f0"], "uv": batch["uv"],
-             "mels": np.zeros((B, T_MEL, 80), np.float32)},
-            key, t_mel=T_MEL, use_gt_dur=True, use_gt_f0=True)
+             "mels": np.zeros((b, t_mel, 80), np.float32)},
+            key, t_mel=t_mel, use_gt_dur=True, use_gt_f0=True)
         return out["mel_out"]
 
     return task, batch, jax.jit(fn)
+
+
+def _build_train_step():
+    """One jitted train step (grads + clip + AdamW) at TR_* shapes."""
+    import jax
+
+    import __graft_entry__ as g
+    from diffsinger_tpu.training.tasks import build_task
+    from diffsinger_tpu.training.trainer import build_optimizer
+
+    hp = _flagship_hp({"lr": 0.001, "decay_steps": 50000, "clip_grad_norm": 1})
+    task = build_task(hp, vocab_size=80)
+    rng = np.random.RandomState(7)
+    batch = g._synthetic_batch(rng, b=TR_B, t_txt=TR_T_TXT, t_mel=TR_T_MEL)
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    params = task.init_params(jax.random.PRNGKey(0), batch)
+    tx = build_optimizer(hp, params, task.trainable_rule())
+
+    def step(p, s, key):
+        import optax
+
+        def loss_fn(pp):
+            total, _ = task.train_loss(pp, arrays, key)
+            return total
+
+        total, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return p, s, total, optax.global_norm(grads)
+
+    return params, tx, jax.jit(step)
 
 
 def _build_vocoder(compute_dtype):
@@ -118,6 +174,11 @@ def run_oracle(out_path):
     params = _perturb(task.init_params(jax.random.PRNGKey(0), batch), seed=3)
     mel_out = np.asarray(fn(params, jax.random.PRNGKey(1)))
 
+    # production-ish-shape run for the HIGHEST-precision structural control
+    # (CPU f32 matmuls are true f32, the correct oracle for TPU 'highest')
+    _, _, fn_hp = _build_sampler({}, HP_B, HP_T_TXT, HP_T_MEL)
+    mel_out_hp = np.asarray(fn_hp(params, jax.random.PRNGKey(1)))
+
     gen, mel_in, vfn = _build_vocoder(None)
     # smaller scale: HiFiGAN stacks 17 conv layers into a tanh — a 0.05
     # perturbation amplifies into full tanh saturation, which makes the
@@ -126,15 +187,28 @@ def run_oracle(out_path):
                        scale=0.015)
     wav = np.asarray(vfn(vparams, mel_in))
 
+    # one train step (the thing 160k updates depend on): perturbed params so
+    # the zero-initialized output projections carry gradient
+    tparams0, tx, tstep = _build_train_step()
+    tparams0 = _perturb(tparams0, seed=5, scale=0.02)
+    topt0 = tx.init(tparams0)
+    tparams1, _, tloss, tgnorm = tstep(tparams0, topt0, jax.random.PRNGKey(9))
+
     with open(out_path, "wb") as f:
         pickle.dump({
             "params": jax.tree_util.tree_map(np.asarray, params),
             "mel_out": mel_out,
+            "mel_out_hp": mel_out_hp,
             "vparams": jax.tree_util.tree_map(np.asarray, vparams),
             "wav": wav,
+            "tparams0": jax.tree_util.tree_map(np.asarray, tparams0),
+            "tparams1": jax.tree_util.tree_map(np.asarray, tparams1),
+            "tloss": float(tloss), "tgnorm": float(tgnorm),
         }, f)
     print(f"[oracle] sampler mel range [{mel_out.min():.3f}, {mel_out.max():.3f}]"
-          f"  vocoder wav rms {np.sqrt((wav ** 2).mean()):.4f}", flush=True)
+          f"  vocoder wav rms {np.sqrt((wav ** 2).mean()):.4f}"
+          f"  train loss {float(tloss):.5f} gnorm {float(tgnorm):.4f}",
+          flush=True)
 
 
 def _stats(ref, got):
@@ -160,7 +234,9 @@ def run_chip(oracle_path):
         oracle = pickle.load(f)
 
     results = {"backend": backend, "shapes": {
-        "sampler": [B, T_TXT, T_MEL], "vocoder": [VOC_B, VOC_T]}}
+        "sampler": [B, T_TXT, T_MEL], "vocoder": [VOC_B, VOC_T],
+        "sampler_hp": [HP_B, HP_T_TXT, HP_T_MEL],
+        "train": [TR_B, TR_T_TXT, TR_T_MEL]}}
 
     for name, overrides in [
             ("sampler_f32", {}),
@@ -171,6 +247,62 @@ def run_chip(oracle_path):
         got = np.asarray(fn(oracle["params"], jax.random.PRNGKey(1)))
         results[name] = _stats(oracle["mel_out"], got)
         print(f"[chip] {name}: {results[name]}", flush=True)
+
+    # HIGHEST-precision structural control at production-ish shapes
+    _, _, fn_hp = _build_sampler({}, HP_B, HP_T_TXT, HP_T_MEL)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(fn_hp(oracle["params"], jax.random.PRNGKey(1)))
+    results["sampler_f32_highest"] = _stats(oracle["mel_out_hp"], got)
+    print(f"[chip] sampler_f32_highest: {results['sampler_f32_highest']}",
+          flush=True)
+
+    # train step: grads + clip + AdamW on chip vs the CPU oracle
+    def _param_diff(ref_tree, got_tree):
+        errs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree_util.tree_leaves(ref_tree),
+                                jax.tree_util.tree_leaves(got_tree))]
+        return max(errs)
+
+    tparams0, tx, tstep = _build_train_step()
+    topt0 = tx.init(oracle["tparams0"])
+    with jax.default_matmul_precision("highest"):
+        p1, _, loss_h, gnorm_h = tstep(oracle["tparams0"], topt0,
+                                       jax.random.PRNGKey(9))
+        p1 = jax.tree_util.tree_map(np.asarray, p1)
+    results["train_step_highest"] = {
+        "loss_rel_err": abs(float(loss_h) - oracle["tloss"]) / abs(
+            oracle["tloss"]),
+        "param_max_abs_err": _param_diff(oracle["tparams1"], p1),
+        "loss": float(loss_h), "loss_oracle": oracle["tloss"],
+    }
+    print(f"[chip] train_step_highest: {results['train_step_highest']}",
+          flush=True)
+
+    topt0 = tx.init(oracle["tparams0"])
+    p1d, s1d, loss_d, gnorm_d = tstep(oracle["tparams0"], topt0,
+                                      jax.random.PRNGKey(9))
+    results["train_step_default"] = {
+        "loss_rel_err": abs(float(loss_d) - oracle["tloss"]) / abs(
+            oracle["tloss"]),
+        "grad_norm_rel_err": abs(float(gnorm_d) - oracle["tgnorm"]) / abs(
+            oracle["tgnorm"]),
+        "loss": float(loss_d), "grad_norm": float(gnorm_d),
+    }
+    print(f"[chip] train_step_default: {results['train_step_default']}",
+          flush=True)
+
+    # 50-step descend smoke (default precision, sequential keys)
+    p, s = p1d, s1d
+    tlosses = [float(loss_d)]
+    for i in range(1, 50):
+        p, s, li, _ = tstep(p, s, jax.random.PRNGKey(9 + i))
+        tlosses.append(float(li))
+    first5, last5 = np.mean(tlosses[:5]), np.mean(tlosses[-5:])
+    results["train_descend_50"] = {
+        "loss_ratio": float(last5 / first5),
+        "loss_first5": float(first5), "loss_last5": float(last5),
+    }
+    print(f"[chip] train_descend_50: {results['train_descend_50']}", flush=True)
 
     for name, dt, prec in [("vocoder_f32", None, None),
                            ("vocoder_f32_highest", None, "highest"),
