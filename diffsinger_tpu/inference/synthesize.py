@@ -25,18 +25,20 @@ def _save_result(wav, mel, base_fn, gen_dir, hp, f0=None, png: bool = True):
              norm=hp.get("out_wav_norm", False))
     if png:
         try:
-            import matplotlib
+            # object-oriented matplotlib ONLY: _save_result runs on a thread
+            # pool, and the pyplot state machine (plt.figure/plt.pcolor) is
+            # global — racing it across threads intermittently raises
+            # "Argument must be an image or collection in this Axes" and can
+            # draw into another thread's figure
+            from matplotlib.figure import Figure
 
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-
-            fig = plt.figure(figsize=(14, 5))
-            plt.pcolor(mel.T)
+            fig = Figure(figsize=(14, 5))
+            ax = fig.add_subplot(111)
+            ax.pcolor(mel.T)
             if f0 is not None:
-                plt.plot(f0 / 10, c="white", linewidth=1, alpha=0.6)
-            plt.tight_layout()
-            plt.savefig(f"{gen_dir}/plot/{base_fn}.png", format="png")
-            plt.close(fig)
+                ax.plot(f0 / 10, c="white", linewidth=1, alpha=0.6)
+            fig.tight_layout()
+            fig.savefig(f"{gen_dir}/plot/{base_fn}.png", format="png")
         except Exception as e:  # plotting must never kill synthesis
             print(f"| plot failed for {base_fn}: {e}")
 

@@ -147,12 +147,16 @@ def length_regulator(dur: jnp.ndarray, t_mel: int, alpha: float = 1.0,
 
 def mel2ph_to_dur(mel2ph: jnp.ndarray, t_txt: int,
                   max_dur: Optional[int] = None) -> jnp.ndarray:
-    """Inverse of :func:`length_regulator` via scatter-add
-    (reference tts_modules.py:242-248). mel2ph: [B, T_mel] -> dur [B, t_txt]."""
-    ones = jnp.ones_like(mel2ph)
-    dur = jax.vmap(
-        lambda m, o: jnp.zeros(t_txt + 1, jnp.int32).at[m].add(o))(mel2ph, ones)
-    dur = dur[:, 1:]
+    """Inverse of :func:`length_regulator` (reference tts_modules.py:242-248 is
+    a scatter_add). mel2ph: [B, T_mel] -> dur [B, t_txt].
+
+    Formulated as a comparison + reduction (dur[b,p] = #frames with
+    mel2ph==p+1) instead of scatter-add: identical integers, but XLA fuses the
+    broadcast-compare into the reduce while TPU scatter-add serializes on
+    colliding indices."""
+    phones = jnp.arange(1, t_txt + 1, dtype=mel2ph.dtype)
+    dur = jnp.sum((mel2ph[:, :, None] == phones[None, None, :])
+                  .astype(jnp.int32), axis=1)
     if max_dur is not None:
         dur = jnp.minimum(dur, max_dur)
     return dur

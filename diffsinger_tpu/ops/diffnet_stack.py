@@ -165,6 +165,37 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
     )(dil_idx, x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out)
 
 
+def precompute_cond_packed(params: dict, cond: jnp.ndarray,
+                           num_layers: int) -> jnp.ndarray:
+    """All L conditioner projections as ONE matmul: cond [B, T, H] ->
+    [L, B, T, 2C].
+
+    ``DiffNet.precompute_cond`` issues L separate 1x1 convs + a stack — ~20
+    small matmul dispatches at ~6% MFU (3.1 ms of the sampler's fixed cost,
+    BENCH.md r2). Concatenating the kernels along the output axis makes it one
+    [B*T, H] @ [H, L*2C] matmul + reshape."""
+    ks = jnp.concatenate([params[f"cond_projection_{i}"]["kernel"][0]
+                          for i in range(num_layers)], axis=-1)  # [H, L*2C]
+    bs = jnp.concatenate([params[f"cond_projection_{i}"]["bias"]
+                          for i in range(num_layers)])
+    b, t, _ = cond.shape
+    out = jnp.einsum("bth,hd->btd", cond, ks) + bs
+    return out.reshape(b, t, num_layers, -1).transpose(2, 0, 1, 3)
+
+
+def _packed_step_proj(params: dict, step: jnp.ndarray, num_layers: int,
+                      w_step=None, b_step=None) -> jnp.ndarray:
+    """All L step projections as one matmul: step [B, C] -> [L, B, C]."""
+    if w_step is None:
+        w_step = jnp.concatenate([params[f"step_projection_{i}"]["kernel"]
+                                  for i in range(num_layers)], axis=-1)
+        b_step = jnp.concatenate([params[f"step_projection_{i}"]["bias"]
+                                  for i in range(num_layers)])
+    out = step @ w_step + b_step  # [B, L*C]
+    b = step.shape[0]
+    return out.reshape(b, num_layers, -1).transpose(1, 0, 2)
+
+
 def diffnet_forward_pallas(params: dict, spec: jnp.ndarray, t: jnp.ndarray,
                            cond_proj, *, dilations: tuple,
                            batch_tile: int = 1, interpret: bool = False,
@@ -191,15 +222,15 @@ def diffnet_forward_pallas(params: dict, spec: jnp.ndarray, t: jnp.ndarray,
     step = step @ params["mlp_0"]["kernel"] + params["mlp_0"]["bias"]
     step = mish(step)
     step = step @ params["mlp_2"]["kernel"] + params["mlp_2"]["bias"]
-    step_proj = jnp.stack([
-        step @ params[f"step_projection_{i}"]["kernel"]
-        + params[f"step_projection_{i}"]["bias"] for i in range(num_layers)])
     if isinstance(cond_proj, dict):
         ctx = cond_proj
+        step_proj = _packed_step_proj(params, step, num_layers,
+                                      ctx.get("w_step"), ctx.get("b_step"))
         cond_proj, w_dil, b_dil, w_out, b_out = (
             ctx["cond_proj"], ctx["w_dil"], ctx["b_dil"], ctx["w_out"],
             ctx["b_out"])
     else:
+        step_proj = _packed_step_proj(params, step, num_layers)
         w_dil, b_dil, w_out, b_out = pack_diffnet_params(params, num_layers)
     skips = diffnet_stack(x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out,
                           dilations=dilations, batch_tile=batch_tile,
@@ -223,8 +254,15 @@ def pack_sampling_ctx(params: dict, cond_proj: jnp.ndarray, num_layers: int,
         cdt = jnp.dtype(compute_dtype)
         w_dil, w_out = w_dil.astype(cdt), w_out.astype(cdt)
         cond_proj = cond_proj.astype(cdt)
+    # step-projection weights packed once per call too (one [C, L*C] matmul
+    # per reverse step instead of L small dispatches inside the scan)
+    w_step = jnp.concatenate([params[f"step_projection_{i}"]["kernel"]
+                              for i in range(num_layers)], axis=-1)
+    b_step = jnp.concatenate([params[f"step_projection_{i}"]["bias"]
+                              for i in range(num_layers)])
     return {"cond_proj": cond_proj, "w_dil": w_dil, "b_dil": b_dil,
-            "w_out": w_out, "b_out": b_out}
+            "w_out": w_out, "b_out": b_out, "w_step": w_step,
+            "b_step": b_step}
 
 
 def pack_diffnet_params(params: dict, num_layers: int):

@@ -283,6 +283,31 @@ def hifigan_mrf_apply(params: dict, cfg, mel: jnp.ndarray,
         har_source = jnp.tanh(
             jnp.einsum("btc,cd->btd", sines, lin["kernel"]) + lin["bias"])
 
+    def conv_dil(x, p, *, d, k):
+        pad = (k * d - d) // 2
+        return jax.lax.conv_general_dilated(
+            cast(x), cast(p["kernel"]), window_strides=(1,),
+            padding=[(pad, pad)], rhs_dilation=(d,),
+            dimension_numbers=("NHC", "HIO", "NHC")) + cast(p["bias"])
+
+    def xla_mrf(x, stage_idx, ch, ks, ds):
+        """XLA resblock stack for the wide-channel scales: C >= 256 keeps the
+        MXU busy and the fused kernel's per-branch weight blocks (k_max*C x C,
+        double-buffered) blow the 16 MB VMEM budget there."""
+        nb = len(ks)
+        xs = None
+        for j, (rk, rd) in enumerate(zip(ks, ds)):
+            rb = params[f"resblocks_{stage_idx * nb + j}"]
+            xc = x
+            for i, d in enumerate(rd):
+                xt = jax.nn.leaky_relu(xc, LRELU_SLOPE)
+                xt = conv_dil(xt, rb[f"convs1_{i}"], d=d, k=rk)
+                xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                xt = conv_dil(xt, rb[f"convs2_{i}"], d=1, k=rk)
+                xc = xc + xt
+            xs = xc if xs is None else xs + xc
+        return xs / nb
+
     x = conv(mel, params["conv_pre"], padding=(3, 3))
     ks = c.resblock_kernel_sizes
     ds = tuple(tuple(d) for d in c.resblock_dilation_sizes)
@@ -301,9 +326,12 @@ def hifigan_mrf_apply(params: dict, cfg, mel: jnp.ndarray,
                              padding=(stride_f0 // 2, stride_f0 // 2))
             else:
                 x = x + conv(har_source, nc, padding=(0, 0))
-        w1, b1, w2, b2 = pack_mrf_params(params, i, ks, ds, ch)
-        x = fused_mrf(x.astype(jnp.float32), w1, b1, w2, b2, kernel_sizes=ks,
-                      dilation_sets=ds, compute_dtype=dt)
+        if ch <= 128:
+            w1, b1, w2, b2 = pack_mrf_params(params, i, ks, ds, ch)
+            x = fused_mrf(x.astype(jnp.float32), w1, b1, w2, b2,
+                          kernel_sizes=ks, dilation_sets=ds, compute_dtype=dt)
+        else:
+            x = xla_mrf(x, i, ch, ks, ds)
     x = jax.nn.leaky_relu(x).astype(jnp.float32)
     cp = params["conv_post"]
     x = jax.lax.conv_general_dilated(

@@ -304,8 +304,11 @@ class DiffSingerTask:
         # (WaveNet denoiser only; the FFT denoiser consumes cond directly)
         cond_ctx = None
         if isinstance(self.m.diffnet, DiffNet):
-            cond_ctx = self.m.diffnet.apply({"params": params["denoiser"]}, cond,
-                                            method=DiffNet.precompute_cond)
+            from diffsinger_tpu.ops.diffnet_stack import precompute_cond_packed
+
+            cond_ctx = precompute_cond_packed(
+                params["denoiser"], cond,
+                int(hp.get("residual_layers", 20)))
             if hp.get("use_pallas_diffnet"):
                 # also hoist weight packing (+ bf16 cast: halves the dominant
                 # per-step HBM stream, the [L, B, T, 2C] cond tensor)

@@ -211,8 +211,12 @@ class Trainer:
         if getattr(self, "_scan_key", None) != key:
             self._train_scan_fn = self._make_train_step_scan(use_gt_f0)
             self._scan_key = key
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(None, "data"))  # [K, B, ...] batches
         stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[_batch_arrays(b) for b in batches])
+            lambda *xs: jax.device_put(jnp.stack(xs), sh),
+            *[_batch_arrays(b) for b in batches])
         rngs = jax.random.split(rng, len(batches))
         self.params, self.opt_state, losses_all = self._train_scan_fn(
             self.params, self.opt_state, stacked, rngs)

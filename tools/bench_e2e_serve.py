@@ -49,8 +49,11 @@ def main():
         hp.update(over)
         task = build_task(hp, vocab_size=80)
         rng = np.random.RandomState(0)
-        vcfg = HifiGanConfig(use_pitch_embed=True)  # NSF source module
+        # production vocoder config: NSF source + bf16 conv stacks (BENCH
+        # vocoder table: bf16 module is the B=8 winner, fused-MRF the B=1 one)
+        vcfg = HifiGanConfig(use_pitch_embed=True, compute_dtype="bfloat16")
         gen = HifiGanGenerator(vcfg)
+        from diffsinger_tpu.ops.hifigan_mrf import hifigan_mrf_apply
         mel0 = jnp.zeros((1, T_MEL, 80), jnp.float32)
         f00 = jnp.zeros((1, T_MEL), jnp.float32)
         vparams = gen.init(jax.random.PRNGKey(0), mel0, f00,
@@ -69,6 +72,9 @@ def main():
                 mel = out["mel_out"]
                 mel = jnp.where((out["mel2ph"] > 0)[..., None], mel,
                                 jnp.min(mel))
+                if b == 1:  # fused-MRF wins the low-batch latency regime
+                    return hifigan_mrf_apply(vp, vcfg, mel, out["f0_denorm"],
+                                             k2)
                 return gen.apply({"params": vp}, mel, out["f0_denorm"], k2)
 
             params = task.init_params(jax.random.PRNGKey(0), batch)

@@ -117,6 +117,56 @@ def main():
            lambda p: jax.grad(lambda f: fwd_only({**p, "fs2": f}))(p["fs2"]),
            params)
 
+    # --- forward breakdown (fwd measured well above its ~3.7 ms roofline) ---
+    import jax.numpy as jnp2
+
+    def fs2_fwd(p):
+        return task.m.fs2.apply(
+            {"params": p["fs2"]}, jnp.asarray(arrays["txt_tokens"]),
+            mel2ph=jnp.asarray(arrays["mel2ph"]),
+            f0=jnp.asarray(arrays["f0"]), uv=jnp.asarray(arrays["uv"]),
+            skip_decoder=True, deterministic=True)
+
+    timeit("fwd: fs2 conditioner only", fs2_fwd, params)
+
+    cond_fix = jnp.asarray(
+        np.random.RandomState(3).randn(B, T_MEL, H).astype(np.float32))
+
+    def diff_fwd(p):
+        t = jax.random.randint(jax.random.PRNGKey(1), (B,), 0,
+                               task.m.gd.cfg.k_step)
+        noise = jax.random.normal(jax.random.PRNGKey(2), (B, T_MEL, 80))
+        return task.m.gd.training_loss(p["denoiser"],
+                                       jnp.asarray(arrays["mels"]), t,
+                                       cond_fix, noise)
+
+    timeit("fwd: diffusion branch only", diff_fwd, params)
+
+    ret_fix = jax.jit(fs2_fwd)(params)
+    ret_fix = jax.tree_util.tree_map(
+        lambda x: jnp2.asarray(np.asarray(x)), ret_fix)
+
+    def aux_only(p):
+        losses = {}
+        task._aux_losses(losses, ret_fix, arrays,
+                         jnp.asarray(arrays["txt_tokens"]),
+                         jnp.asarray(arrays["mel2ph"]),
+                         jnp.asarray(arrays["f0"]), jnp.asarray(arrays["uv"]),
+                         jnp.asarray(arrays["energy"]), fs2_params=p["fs2"])
+        return sum(losses.values())
+
+    timeit("fwd: aux losses only (fixed ret)", aux_only, params)
+
+    hp_nopitch = dict(hp, use_pitch_embed=False)
+    task_np = build_task(hp_nopitch, vocab_size=80)
+    params_np = task_np.init_params(jax.random.PRNGKey(0), batch)
+    timeit("fwd: full, use_pitch_embed=False",
+           lambda p: task_np.train_loss(p, arrays, jax.random.PRNGKey(0))[0],
+           params_np)
+    timeit("fwd+bwd: full, use_pitch_embed=False",
+           lambda p: jax.grad(lambda q: task_np.train_loss(
+               q, arrays, jax.random.PRNGKey(0))[0])(p), params_np)
+
     # optimizer update alone
     tx = build_optimizer(hp, params, task.trainable_rule())
     opt_state = tx.init(params)

@@ -62,7 +62,12 @@ def main():
         audio_s = b * T_MEL * 256 / 22050
         for (name, dt), fn in fns.items():
             t0 = time.perf_counter()
-            out = fn(params, melb)
+            try:
+                out = fn(params, melb)
+            except Exception as e:  # a crash mid-run wedges the tunnel ~30 min
+                print(f"[{name:6s} {dt:4s} B={b}] FAILED: {e}"[:300],
+                      flush=True)
+                continue
             chk = float(jnp.abs(out).mean())
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
