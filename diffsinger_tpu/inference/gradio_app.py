@@ -55,7 +55,8 @@ class GradioInfer:
         for s, n, d in split_sentences(text, notes, notes_duration):
             wav = self.infer_ins.infer_once(
                 {"text": s, "notes": n, "notes_duration": d})
-            audio_outs.append((np.asarray(wav) * 32767).astype(np.int16))
+            wav = np.clip(np.nan_to_num(np.asarray(wav)), -1.0, 1.0)
+            audio_outs.append((wav * 32767).astype(np.int16))
             audio_outs.append(np.zeros(int(sr * 0.3), np.int16))
         return sr, np.concatenate(audio_outs)
 

@@ -157,6 +157,55 @@ def sine_source(f0_up: jnp.ndarray, rng: jax.Array, sample_rate: int,
     return sines, uv
 
 
+def sine_source_framewise(f0_frame: jnp.ndarray, upsample: int, rng: jax.Array,
+                          sample_rate: int, harmonic_num: int = 8,
+                          sine_amp: float = 0.1, noise_std: float = 0.003,
+                          voiced_threshold: float = 0.0,
+                          rand_ini: Optional[jnp.ndarray] = None,
+                          noise: Optional[jnp.ndarray] = None):
+    """``sine_source(repeat(f0_frame, U))`` without the sample-rate cumsums.
+
+    In the NSF generator the audio-rate F0 is a nearest-neighbor repeat of the
+    frame-rate F0 (reference hifigan.py:140: ``F.interpolate`` nearest), so the
+    per-sample phase increment is constant within each frame. The cumulative
+    phase mod 1 therefore splits into a FRAME-rate exclusive prefix sum (1024
+    elements instead of 262144) plus a within-frame linear ramp — sin(2πx)
+    only needs x mod 1, so everything is reduced mod 1 as it is built and f32
+    precision holds (max drift ~1e-3 rad at B=8×1024 frames; measured vs the
+    exact path in tests/test_hifigan_mrf.py). This removes the two
+    [B, T_wav, 9] sample-rate cumsums that dominate the NSF source cost on
+    TPU.
+
+    f0_frame: [B, F] frame-rate F0. Returns (sines [B, F*U, H+1], uv).
+    """
+    b, f = f0_frame.shape
+    dim = harmonic_num + 1
+    harmonics = jnp.arange(1, dim + 1, dtype=jnp.float32)
+    # per-sample phase increment per frame, in cycles, mod 1
+    r = (f0_frame[:, :, None] * harmonics[None, None, :] / sample_rate) % 1.0
+    rng_phase, rng_noise = jax.random.split(rng)
+    if rand_ini is None:
+        rand_ini = jax.random.uniform(rng_phase, (b, 1, dim))
+        rand_ini = rand_ini.at[:, :, 0].set(0.0)
+    # exclusive frame prefix of (U * r) mod 1; cumsum peaks at ~F/2 so f32
+    # rounding stays ~F*eps cycles — no carry trick needed at frame rate
+    step = (r * float(upsample)) % 1.0
+    base = (jnp.cumsum(step, axis=1) - step + rand_ini) % 1.0  # [B, F, H+1]
+    # within-frame ramp: sample j (0-based) has cumulative (j+1)*r
+    j = jnp.arange(1, upsample + 1, dtype=jnp.float32)
+    ramp = (r[:, :, None, :] * j[None, None, :, None]) % 1.0  # [B, F, U, H+1]
+    phase = (base[:, :, None, :] + ramp) % 1.0
+    sines = jnp.sin(phase * (2 * np.pi)) * sine_amp
+    sines = sines.reshape(b, f * upsample, dim)
+    uv_f = (f0_frame > voiced_threshold).astype(jnp.float32)
+    uv = jnp.repeat(uv_f, upsample, axis=1)[:, :, None]
+    noise_amp = uv * noise_std + (1 - uv) * sine_amp / 3
+    if noise is None:
+        noise = jax.random.normal(rng_noise, sines.shape)
+    sines = sines * uv + noise_amp * noise
+    return sines, uv
+
+
 class SourceModuleHnNSF(nn.Module):
     """tanh(linear(sine bank)) harmonic merge (reference source.py:484-531)."""
 
@@ -168,10 +217,21 @@ class SourceModuleHnNSF(nn.Module):
     @nn.compact
     def __call__(self, f0_up: jnp.ndarray, rng: jax.Array,
                  rand_ini: Optional[jnp.ndarray] = None,
-                 noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        sines, uv = sine_source(f0_up, rng, self.sample_rate, self.harmonic_num,
-                                self.sine_amp, self.add_noise_std,
-                                rand_ini=rand_ini, noise=noise)
+                 noise: Optional[jnp.ndarray] = None,
+                 upsample: int = 1) -> jnp.ndarray:
+        """``upsample=1``: f0_up is audio-rate (exact reference path).
+        ``upsample=U>1``: f0_up is FRAME-rate and the framewise fast phase
+        path is used (equivalent to passing ``repeat(f0_up, U)``)."""
+        if upsample > 1:
+            sines, uv = sine_source_framewise(
+                f0_up, upsample, rng, self.sample_rate, self.harmonic_num,
+                self.sine_amp, self.add_noise_std, rand_ini=rand_ini,
+                noise=noise)
+        else:
+            sines, uv = sine_source(f0_up, rng, self.sample_rate,
+                                    self.harmonic_num, self.sine_amp,
+                                    self.add_noise_std, rand_ini=rand_ini,
+                                    noise=noise)
         return jnp.tanh(nn.Dense(1, name="l_linear")(sines))  # [B, T_wav, 1]
 
 
@@ -191,6 +251,10 @@ class HifiGanConfig:
     # final conv_post+tanh always runs f32 (waveform headroom). Opt-in via
     # hparams 'vocoder_compute_dtype: bfloat16'.
     compute_dtype: str = "float32"
+    # NSF phase accumulation: 'framewise' (default; frame-rate prefix sum +
+    # in-frame ramp, ~1e-4 waveform delta) or 'exact' (sample-rate cumsum,
+    # bit-path of the reference). See sine_source_framewise.
+    source_mode: str = "framewise"
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "HifiGanConfig":
@@ -204,6 +268,7 @@ class HifiGanConfig:
             resblock_dilation_sizes=tuple(tuple(d) for d in
                                           hp["resblock_dilation_sizes"]),
             use_pitch_embed=bool(hp.get("use_pitch_embed", False)),
+            source_mode=str(hp.get("nsf_source_mode", "framewise")),
             audio_sample_rate=int(hp.get("audio_sample_rate", 22050)),
             num_mels=int(hp.get("audio_num_mel_bins", 80)),
         )
@@ -231,11 +296,16 @@ class HifiGanGenerator(nn.Module):
         if c.use_pitch_embed and f0 is not None:
             if rng is None:
                 rng = jax.random.PRNGKey(0)
-            # nearest-neighbor upsample of F0 to audio rate (torch nn.Upsample)
-            f0_up = jnp.repeat(f0, c.total_upsample, axis=1)
-            har_source = SourceModuleHnNSF(c.audio_sample_rate, name="m_source")(
-                f0_up, rng, rand_ini=source_rand_ini,
-                noise=source_noise)  # [B, T_wav, 1]
+            src = SourceModuleHnNSF(c.audio_sample_rate, name="m_source")
+            if c.source_mode == "framewise":
+                har_source = src(f0, rng, rand_ini=source_rand_ini,
+                                 noise=source_noise,
+                                 upsample=c.total_upsample)  # [B, T_wav, 1]
+            else:
+                # nearest-neighbor F0 upsample to audio rate (torch nn.Upsample)
+                f0_up = jnp.repeat(f0, c.total_upsample, axis=1)
+                har_source = src(f0_up, rng, rand_ini=source_rand_ini,
+                                 noise=source_noise)
 
         x = nn.Conv(c.upsample_initial_channel, (7,), padding=[(3, 3)],
                     kernel_init=normal_conv_init(), dtype=dt,

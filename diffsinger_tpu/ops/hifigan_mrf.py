@@ -261,7 +261,8 @@ def hifigan_mrf_apply(params: dict, cfg, mel: jnp.ndarray,
     fused kernel. Reference hot loop: modules/hifigan/hifigan.py:144-168.
     """
     from diffsinger_tpu.models.hifigan import (LRELU_SLOPE, conv_transpose_1d,
-                                               sine_source)
+                                               sine_source,
+                                               sine_source_framewise)
 
     c = cfg
     dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
@@ -277,8 +278,12 @@ def hifigan_mrf_apply(params: dict, cfg, mel: jnp.ndarray,
     if c.use_pitch_embed and f0 is not None:
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        f0_up = jnp.repeat(f0, c.total_upsample, axis=1)
-        sines, _ = sine_source(f0_up, rng, c.audio_sample_rate)
+        if c.source_mode == "framewise":
+            sines, _ = sine_source_framewise(f0, c.total_upsample, rng,
+                                             c.audio_sample_rate)
+        else:
+            f0_up = jnp.repeat(f0, c.total_upsample, axis=1)
+            sines, _ = sine_source(f0_up, rng, c.audio_sample_rate)
         lin = params["m_source"]["l_linear"]
         har_source = jnp.tanh(
             jnp.einsum("btc,cd->btd", sines, lin["kernel"]) + lin["bias"])

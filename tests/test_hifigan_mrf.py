@@ -70,3 +70,44 @@ def test_hifigan_mrf_apply_matches_module():
     got = np.asarray(hifigan_mrf_apply(variables["params"], cfg, mel, f0, key))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_sine_source_framewise_matches_exact():
+    """Frame-rate phase prefix (sine_source_framewise) == sample-rate cumsum
+    path at production-like scale: same rng key => identical rand_ini/noise
+    draws, so the only delta is f32 phase accumulation order (~1e-4 rad)."""
+    from diffsinger_tpu.models.hifigan import sine_source, sine_source_framewise
+
+    rng = np.random.RandomState(0)
+    b, f_frames, up = 2, 256, 256
+    f0 = np.abs(rng.randn(b, f_frames)).astype(np.float32) * 120 + 80
+    f0[:, :16] = 0.0  # unvoiced head exercises the uv gate
+    f0[0, 100:120] = 0.0
+    key = jax.random.PRNGKey(7)
+    f0j = jnp.asarray(f0)
+    exact, uv_e = sine_source(jnp.repeat(f0j, up, axis=1), key, 22050)
+    fast, uv_f = sine_source_framewise(f0j, up, key, 22050)
+    assert fast.shape == exact.shape == (b, f_frames * up, 9)
+    np.testing.assert_array_equal(np.asarray(uv_f), np.asarray(uv_e))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=2e-3)
+    # typical deviation should be far tighter than the atol bound
+    assert float(np.abs(np.asarray(fast) - np.asarray(exact)).mean()) < 1e-4
+
+
+def test_generator_framewise_source_matches_exact_mode():
+    from diffsinger_tpu.models.hifigan import HifiGanConfig, HifiGanGenerator
+
+    kw = dict(upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+              upsample_initial_channel=64, resblock_kernel_sizes=(3, 7),
+              resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+              use_pitch_embed=True, audio_sample_rate=22050)
+    gen_fast = HifiGanGenerator(HifiGanConfig(**kw))  # framewise default
+    gen_exact = HifiGanGenerator(HifiGanConfig(source_mode="exact", **kw))
+    rng = np.random.RandomState(1)
+    mel = jnp.asarray(rng.randn(2, 64, 80).astype(np.float32) * 0.5 - 2.0)
+    f0 = jnp.asarray(np.abs(rng.randn(2, 64)).astype(np.float32) * 100 + 100)
+    key = jax.random.PRNGKey(3)
+    variables = gen_exact.init(jax.random.PRNGKey(0), mel, f0, key)
+    want = np.asarray(gen_exact.apply(variables, mel, f0, key))
+    got = np.asarray(gen_fast.apply(variables, mel, f0, key))
+    np.testing.assert_allclose(got, want, atol=5e-4)
