@@ -42,9 +42,45 @@ def _batch_arrays(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
             and k not in ARRAY_KEYS_EXCLUDE}
 
 
+def _flat_wrap(tx: optax.GradientTransformation, params, mask
+               ) -> optax.GradientTransformation:
+    """Run the optimizer math over ONE concatenated flat vector.
+
+    A param tree here has hundreds of small leaves; per-leaf AdamW lowers to
+    hundreds of tiny XLA fusions whose launch overhead dominates the actual
+    HBM traffic (measured ~4.2 ms/step at B=24 vs a ~0.7 ms bandwidth
+    roofline, tools/bench_train_stages.py). Flattening runs the whole update
+    as a handful of big elementwise kernels. Semantics match the
+    multi_transform(freeze) form: frozen leaves contribute 0 to the clip norm
+    (grads masked before flattening) and receive 0 update (updates masked
+    after unflattening — this also stops weight decay from leaking into
+    frozen params). Only used for replicated params (dp-only meshes): a flat
+    m/v vector cannot follow per-param tensor-parallel shardings.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    _, unravel = ravel_pytree(params)
+
+    def mask_zeros(tree):
+        return jax.tree_util.tree_map(
+            lambda x, m: x if m else jnp.zeros_like(x), tree, mask)
+
+    def init(p):
+        flat, _ = ravel_pytree(p)
+        return tx.init(flat)
+
+    def update(grads, state, p=None):
+        gflat, _ = ravel_pytree(mask_zeros(grads))
+        pflat, _ = ravel_pytree(p)
+        uflat, state = tx.update(gflat, state, pflat)
+        return mask_zeros(unravel(uflat)), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(hp: Dict[str, Any], params, rule,
                     batches_per_epoch: Optional[int] = None,
-                    ) -> optax.GradientTransformation:
+                    mesh=None) -> optax.GradientTransformation:
     schedule = build_lr_schedule(hp)
     b1 = float(hp.get("optimizer_adam_beta1", 0.9))
     b2 = float(hp.get("optimizer_adam_beta2", 0.98))
@@ -58,8 +94,15 @@ def build_optimizer(hp: Dict[str, Any], params, rule,
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
     mask = trainable_mask(params, rule)
-    labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
-    tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    model_sharded = (int(hp.get("num_model_shards", 1) or 1) > 1
+                     or (mesh is not None and mesh.shape.get("model", 1) > 1))
+    if bool(hp.get("flat_optimizer", True)) and not model_sharded:
+        tx = _flat_wrap(tx, params, mask)
+    else:
+        labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze",
+                                        mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     accum = hp.get("accumulate_grad_batches", 1)
     if isinstance(accum, dict):
         # per-epoch schedule {epoch: factor} (reference
@@ -110,7 +153,8 @@ class Trainer:
         self.load_warm_start()
         self.tx = build_optimizer(self.hp, self.params,
                                   self.task.trainable_rule(),
-                                  batches_per_epoch=self.batches_per_epoch)
+                                  batches_per_epoch=self.batches_per_epoch,
+                                  mesh=self.mesh)
         self.opt_state = self.tx.init(self.params)
         self.restore()  # auto-resume if checkpoints exist
         self._place()

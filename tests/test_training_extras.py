@@ -223,3 +223,45 @@ def test_fit_with_train_steps_per_call(tmp_path):
     tr.fit(ds_train, ds_valid)
     assert tr.global_step >= 6
     assert os.path.isdir(os.path.join(hp["work_dir"], "ckpts"))
+
+
+def test_flat_optimizer_matches_tree_optimizer():
+    """_flat_wrap (one concatenated AdamW vector) must be numerically
+    equivalent to the multi_transform(freeze) tree form: same updates for
+    trainable leaves, exact zeros (incl. no weight-decay leak) for frozen
+    ones, same clip-norm behavior, over several steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from diffsinger_tpu.training.trainer import build_optimizer
+
+    rng = np.random.RandomState(0)
+    params = {
+        "fs2": {"w": jnp.asarray(rng.randn(16, 8), jnp.float32),
+                "b": jnp.asarray(rng.randn(8), jnp.float32)},
+        "denoiser": {"k": jnp.asarray(rng.randn(4, 4), jnp.float32)},
+    }
+    rule = lambda path: path[0] != "fs2"  # freeze fs2 (DiffSingerTask policy)
+    hp = dict(lr=0.01, decay_steps=1000, clip_grad_norm=0.5, weight_decay=0.1,
+              optimizer_adam_beta1=0.9, optimizer_adam_beta2=0.98)
+    tx_flat = build_optimizer({**hp, "flat_optimizer": True}, params, rule)
+    tx_tree = build_optimizer({**hp, "flat_optimizer": False}, params, rule)
+    s_f, s_t = tx_flat.init(params), tx_tree.init(params)
+    p_f = p_t = params
+    for i in range(3):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32) * (i + 1),
+            params)
+        u_f, s_f = tx_flat.update(grads, s_f, p_f)
+        u_t, s_t = tx_tree.update(grads, s_t, p_t)
+        for kf, kt in [("fs2", "fs2"), ("denoiser", "denoiser")]:
+            for leaf in u_f[kf]:
+                np.testing.assert_allclose(np.asarray(u_f[kf][leaf]),
+                                           np.asarray(u_t[kt][leaf]),
+                                           rtol=1e-6, atol=1e-7)
+        assert float(jnp.abs(u_f["fs2"]["w"]).max()) == 0.0  # frozen, no wd leak
+        assert float(jnp.abs(u_f["denoiser"]["k"]).max()) > 0.0
+        p_f = optax.apply_updates(p_f, u_f)
+        p_t = optax.apply_updates(p_t, u_t)

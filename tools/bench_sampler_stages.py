@@ -66,6 +66,12 @@ def main():
               flush=True)
         return dt
 
+    # dispatch-overhead calibration: a near-empty program measures the per-jit
+    # tunnel/dispatch cost (~1.3 ms through axon) that inflates every
+    # single-module row below; subtract it before comparing to rooflines
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    timeit("null jit (dispatch overhead)", lambda a: a + 1.0, tiny)
+
     txt = jnp.asarray(batch["txt_tokens"])
     mel2ph = jnp.asarray(batch["mel2ph"])
     f0 = jnp.asarray(batch["f0"])

@@ -65,6 +65,11 @@ def main():
               flush=True)
         return dt
 
+    # dispatch-overhead calibration (see bench_sampler_stages.py): every row
+    # below carries this per-jit cost on top of its device time
+    timeit("null jit (dispatch overhead)", lambda a: a + 1.0,
+           jnp.zeros((8, 128), jnp.float32))
+
     # --- expansion fwd+bwd: custom-vjp gather vs one-hot fwd ------------------
     def exp_grad(e):
         return jax.grad(lambda x: jnp.sum(expand_by_mel2ph(x, mel2ph) ** 2))(e)
