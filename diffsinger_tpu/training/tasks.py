@@ -123,6 +123,24 @@ def build_modules(hp: Dict[str, Any], vocab_size: int) -> TaskModules:
                     return diffnet_forward_pallas(params, x, t, cond,
                                                   dilations=dilations)
                 return diffnet.apply({"params": params}, x, t, cond_proj=cond)
+            if bool(hp.get("use_pallas_diffnet_train", False)) \
+                    and decoder_type == "wavenet" \
+                    and (compute_dtype is not None
+                         or jax.default_backend() == "cpu"):
+                # bf16-only on real TPU: the all-f32 kernels exceed the 16 MB
+                # VMEM budget (ops/diffnet_train.py); f32 configs keep XLA
+                # training path: fused stack with the hand-written backward
+                # kernel (ops/diffnet_train.py); interpret-mode on CPU so the
+                # same config runs in tests
+                from diffsinger_tpu.ops.diffnet_train import \
+                    diffnet_train_forward
+
+                return diffnet_train_forward(
+                    params, x, t, cond, dilations=dilations,
+                    interpret=jax.default_backend() == "cpu",
+                    compute_dtype=compute_dtype,
+                    save_dtype=(jnp.bfloat16 if compute_dtype is not None
+                                else jnp.float32))
             return diffnet.apply({"params": params}, x, t, cond)
 
         gd = GaussianDiffusion(dcfg, denoise_fn)

@@ -136,3 +136,118 @@ def test_diffnet_forward_packed_ctx_matches_module(rng):
     err = np.abs(got16 - want).max()
     scale = np.abs(want).max()
     assert err < 0.05 * scale, (err, scale)
+
+
+def test_diffnet_train_stack_grads_match_reference():
+    """The training stack's custom VJP (Pallas fwd+bwd kernels, interpret
+    mode) must produce the same gradients as jax.grad of the pure-jnp
+    reference for EVERY operand (x0, step, cond, K/b_cond, W/b_dil,
+    W/b_out)."""
+    from diffsinger_tpu.ops.diffnet_train import make_stack_vjp, stack_reference
+
+    rng = np.random.RandomState(0)
+    b, t, c, h, l_num = 2, 32, 16, 12, 4
+    dilations = tuple(2 ** (i % 2) for i in range(l_num))
+    args = (
+        jnp.asarray(rng.randn(b, t, c).astype(np.float32)),            # x0
+        jnp.asarray(rng.randn(l_num, b, c).astype(np.float32)) * 0.5,  # step
+        jnp.asarray(rng.randn(b, t, h).astype(np.float32)),            # cond
+        jnp.asarray(rng.randn(l_num, h, 2 * c).astype(np.float32)) * 0.3,
+        jnp.asarray(rng.randn(l_num, 2 * c).astype(np.float32)) * 0.1,
+        jnp.asarray(rng.randn(l_num, 3, c, 2 * c).astype(np.float32)) * 0.3,
+        jnp.asarray(rng.randn(l_num, 2 * c).astype(np.float32)) * 0.1,
+        jnp.asarray(rng.randn(l_num, c, 2 * c).astype(np.float32)) * 0.3,
+        jnp.asarray(rng.randn(l_num, 2 * c).astype(np.float32)) * 0.1,
+    )
+    tgt = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+    fn = make_stack_vjp(dilations, batch_tile=1, interpret=True)
+
+    def loss_pallas(*a):
+        return jnp.sum((fn(*a) - tgt) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum((stack_reference(*a, dilations=dilations) - tgt) ** 2)
+
+    out_p = fn(*args)
+    out_r = stack_reference(*args, dilations=dilations)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+    grads_p = jax.grad(loss_pallas, argnums=tuple(range(9)))(*args)
+    grads_r = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    names = ["x0", "step", "cond", "k_cond", "b_cond", "w_dil", "b_dil",
+             "w_out", "b_out"]
+    for name, gp, gr in zip(names, grads_p, grads_r):
+        scale = max(1.0, float(np.abs(np.asarray(gr)).max()))
+        np.testing.assert_allclose(
+            np.asarray(gp) / scale, np.asarray(gr) / scale,
+            rtol=1e-4, atol=1e-5, err_msg=f"grad mismatch: {name}")
+
+
+def test_diffnet_train_forward_grads_match_module():
+    """diffnet_train_forward (Pallas train path) == DiffNet.apply in value AND
+    in gradients wrt the full param tree + inputs."""
+    from diffsinger_tpu.ops.diffnet_train import diffnet_train_forward
+
+    rng = np.random.RandomState(1)
+    net, params, spec, t, cond = _setup(rng)
+    dilations = tuple(2 ** (i % CYCLE) for i in range(L))
+    tgt = jnp.asarray(rng.randn(*spec.shape).astype(np.float32))
+
+    def loss_mod(p, cd):
+        out = net.apply({"params": p}, spec, t, cd)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_pal(p, cd):
+        out = diffnet_train_forward(p, spec, t, cd, dilations=dilations,
+                                    interpret=True)
+        return jnp.sum((out - tgt) ** 2)
+
+    v_m, (g_m, gc_m) = jax.value_and_grad(loss_mod, argnums=(0, 1))(params, cond)
+    v_p, (g_p, gc_p) = jax.value_and_grad(loss_pal, argnums=(0, 1))(params, cond)
+    np.testing.assert_allclose(float(v_p), float(v_m), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_m),
+                               rtol=1e-4, atol=1e-5)
+    flat_m = jax.tree_util.tree_leaves_with_path(g_m)
+    flat_p = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_p)}
+    for key, vm in flat_m:
+        vp = flat_p[jax.tree_util.keystr(key)]
+        scale = max(1.0, float(np.abs(np.asarray(vm)).max()))
+        np.testing.assert_allclose(
+            np.asarray(vp) / scale, np.asarray(vm) / scale,
+            rtol=1e-4, atol=1e-5, err_msg=f"grad mismatch: {key}")
+
+
+def test_task_train_loss_with_pallas_train_path():
+    """use_pallas_diffnet_train routes task.train_loss through the fused
+    training kernels (interpret mode on CPU): loss and ALL grads must match
+    the XLA module path."""
+    import __graft_entry__ as g
+    from diffsinger_tpu.training.tasks import build_task
+
+    rng = np.random.RandomState(3)
+    batch = g._synthetic_batch(rng, b=2, t_txt=16, t_mel=64)
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    hp = g._tiny_hp()
+    task_x = build_task(dict(hp), vocab_size=16)
+    task_p = build_task({**hp, "use_pallas_diffnet_train": True}, vocab_size=16)
+    params = task_x.init_params(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(task):
+        def f(p):
+            total, _ = task.train_loss(p, arrays, jax.random.PRNGKey(5))
+            return total
+        return f
+
+    v_x, g_x = jax.value_and_grad(loss_fn(task_x))(params)
+    v_p, g_p = jax.value_and_grad(loss_fn(task_p))(params)
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-5)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_p = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_p)}
+    for key, vx in flat_x:
+        vp = flat_p[jax.tree_util.keystr(key)]
+        scale = max(1.0, float(np.abs(np.asarray(vx)).max()))
+        np.testing.assert_allclose(
+            np.asarray(vp) / scale, np.asarray(vx) / scale,
+            rtol=1e-4, atol=1e-5, err_msg=f"grad mismatch: {key}")

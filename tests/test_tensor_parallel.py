@@ -66,3 +66,45 @@ def test_tp2_training_and_inference_match_tp1(tmp_path):
         1 for s in jax.tree_util.tree_leaves(shardings)
         if "model" in str(s.spec))
     assert n_sharded > 0, "tp placement rule sharded nothing at this size"
+
+
+def test_dp_sharded_serving_matches_single_device(tmp_path):
+    """Batched serving scales by data parallelism: the fused inference
+    program with the batch sharded over the 8-device 'data' axis must equal
+    the single-device result exactly (per-example programs are independent —
+    sharding only partitions the batch dimension). This is the §2.8 serving
+    story: N chips serve N× the batch of one chip with no code change."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from diffsinger_tpu.parallel.mesh import replicated
+
+    data_dir = make_synthetic_dataset(str(tmp_path / "ds"), n_train=8)
+    hp = tiny_hparams(data_dir, work_dir=str(tmp_path / "exp_serve"))
+    ds = FastSpeechDataset(hp, "train")
+    task = build_task(hp, vocab_size=10)
+    batch = next(ds.iter_batches(max_sentences=8))
+    arrays = {k: v for k, v in batch.items()
+              if isinstance(v, np.ndarray) and k not in ("item_name", "text")}
+    b = arrays["txt_tokens"].shape[0]
+    if b < 8:  # pad the batch to the mesh size by repeating rows
+        reps = -(-8 // b)
+        arrays = {k: np.concatenate([v] * reps, 0)[:8] for k, v in arrays.items()}
+    params = task.init_params(jax.random.PRNGKey(0), arrays)
+    t_mel = int(arrays["mels"].shape[1])
+
+    def fn(p, ba):
+        return task.inference(p, ba, jax.random.PRNGKey(7), t_mel=t_mel,
+                              use_gt_dur=True, use_gt_f0=True)["mel_out"]
+
+    mel_single = np.asarray(jax.jit(fn)(params, arrays))
+
+    mesh = make_mesh(num_data=8)
+    batch_sh = NamedSharding(mesh, P("data"))
+    sharded = {k: jax.device_put(jnp.asarray(v), batch_sh)
+               for k, v in arrays.items()}
+    p_repl = jax.device_put(params, replicated(mesh))
+    mel_dp = np.asarray(jax.jit(fn)(p_repl, sharded))
+    # per-example computation is untouched by batch sharding; any deviation
+    # beyond reduction-order noise means a cross-example leak
+    np.testing.assert_allclose(mel_dp, mel_single, rtol=1e-5, atol=1e-5)

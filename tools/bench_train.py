@@ -25,10 +25,13 @@ def main():
               residual_channels=256, timesteps=100, K_step=71, max_beta=0.06,
               schedule_type="linear", pitch_type="frame", lr=0.001,
               decay_steps=50000, clip_grad_norm=1)
-    # variants: bench_train.py [B] [bf16] [nodrop]
+    # variants: bench_train.py [B] [bf16] [nodrop] [pallas]
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     if "bf16" in sys.argv:
         hp["compute_dtype"] = "bfloat16"
+    if "pallas" in sys.argv:
+        # fused training stack with the hand-written backward kernel
+        hp["use_pallas_diffnet_train"] = True
     if "nodrop" not in sys.argv:
         # flagship lj_ds_beta6 training rates (the honest workload; threefry
         # mask generation is part of the real step cost)
