@@ -248,16 +248,43 @@ class GaussianDiffusion:
             interval = int(cfg.pndm_speedup)
             ts = np.arange(0, k, interval)[::-1].copy()
 
+            # first step (Adams-Bashforth order-1 warmup) hoisted OUT of the
+            # scan: it is the only step that evaluates the denoiser TWICE
+            # (reference :186-190), and hoisting keeps the scan body a
+            # single-eval program (same trajectory, steps 1.. use orders 2-4)
+            t0 = jnp.full((b,), int(ts[0]), jnp.int32)
+            eps0 = self.denoise_fn(params, x, t0, cond_ctx)
+            x_pred = self._plms_get_x_pred(x, eps0, t0, interval)
+            t_prev = jnp.maximum(t0 - interval, 0)
+            eps_prev = self.denoise_fn(params, x_pred, t_prev, cond_ctx)
+            x = self._plms_get_x_pred(x, (eps0 + eps_prev) / 2, t0, interval)
+            buf = jnp.concatenate([eps0[None],
+                                   jnp.zeros((2,) + shape)], axis=0)
+
             def plms_body(carry, t_scalar):
                 x, buf, idx = carry
                 t_vec = jnp.full((b,), t_scalar, jnp.int32)
-                x, buf = self.p_sample_plms_step(params, x, t_vec, cond_ctx, buf,
-                                                 idx, interval)
-                return (x, buf, idx + 1), None
+                eps = self.denoise_fn(params, x, t_vec, cond_ctx)
 
-            (x, _, _), _ = jax.lax.scan(
-                plms_body, (x, jnp.zeros((3,) + shape), jnp.int32(0)),
-                jnp.asarray(ts))
+                def order2(_):
+                    return (3 * eps - buf[0]) / 2
+
+                def order3(_):
+                    return (23 * eps - 16 * buf[0] + 5 * buf[1]) / 12
+
+                def order4(_):
+                    return (55 * eps - 59 * buf[0] + 37 * buf[1]
+                            - 9 * buf[2]) / 24
+
+                eps_prime = jax.lax.switch(
+                    jnp.clip(idx - 1, 0, 2), [order2, order3, order4], None)
+                x = self._plms_get_x_pred(x, eps_prime, t_vec, interval)
+                new_buf = jnp.concatenate([eps[None], buf[:2]], axis=0)
+                return (x, new_buf, idx + 1), None
+
+            if len(ts) > 1:
+                (x, _, _), _ = jax.lax.scan(
+                    plms_body, (x, buf, jnp.int32(1)), jnp.asarray(ts[1:]))
         else:
             step_rngs = jax.random.split(rng, k)
 
