@@ -27,6 +27,9 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+# POST bodies are lyric + MIDI JSON — reject anything bigger (advisor r3)
+MAX_REQUEST_BYTES = 1 << 20
+
 _PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>{title}</title>
 <style>body{{font-family:sans-serif;max-width:48rem;margin:2rem auto}}
@@ -106,6 +109,9 @@ class SVSWebApp:
                     self._send(404, "text/plain", b"not found")
                     return
                 n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_REQUEST_BYTES:  # lyric/MIDI payloads are tiny
+                    self._send(413, "text/plain", b"request body too large")
+                    return
                 try:
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     _, body = app._synthesize(payload)
@@ -130,7 +136,9 @@ class SVSWebApp:
             self._httpd.server_close()
             self._httpd = None
 
-    def run_forever(self, host: str = "0.0.0.0", port: int = 7860):
+    def run_forever(self, host: str = "127.0.0.1", port: int = 7860):
+        """Blocking serve. Defaults to loopback; pass --host 0.0.0.0 to expose
+        on the network (the app has no auth — opt in deliberately)."""
         httpd = ThreadingHTTPServer((host, port), self._make_handler())
         print(f"| serving on http://{host}:{port}", flush=True)
         httpd.serve_forever()
@@ -146,7 +154,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--exp_name", default="")
-    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7860)
     args = ap.parse_args(argv)
     hp = set_hparams(config=args.config, exp_name=args.exp_name)

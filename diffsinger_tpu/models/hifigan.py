@@ -251,10 +251,12 @@ class HifiGanConfig:
     # final conv_post+tanh always runs f32 (waveform headroom). Opt-in via
     # hparams 'vocoder_compute_dtype: bfloat16'.
     compute_dtype: str = "float32"
-    # NSF phase accumulation: 'framewise' (default; frame-rate prefix sum +
-    # in-frame ramp, ~1e-4 waveform delta) or 'exact' (sample-rate cumsum,
-    # bit-path of the reference). See sine_source_framewise.
-    source_mode: str = "framewise"
+    # NSF phase accumulation: 'exact' (default; sample-rate cumsum, bit-path
+    # of the reference — safe for parity comparisons out of the box) or
+    # 'framewise' (frame-rate prefix sum + in-frame ramp, ~1e-4 waveform
+    # delta, −42 ms at B=8 — enabled by configs/tpu_production.yaml alongside
+    # the other measured knobs). See sine_source_framewise.
+    source_mode: str = "exact"
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "HifiGanConfig":
@@ -268,7 +270,7 @@ class HifiGanConfig:
             resblock_dilation_sizes=tuple(tuple(d) for d in
                                           hp["resblock_dilation_sizes"]),
             use_pitch_embed=bool(hp.get("use_pitch_embed", False)),
-            source_mode=str(hp.get("nsf_source_mode", "framewise")),
+            source_mode=str(hp.get("nsf_source_mode", "exact")),
             audio_sample_rate=int(hp.get("audio_sample_rate", 22050)),
             num_mels=int(hp.get("audio_num_mel_bins", 80)),
         )

@@ -71,13 +71,17 @@ def stack_reference(x0, step_proj, cond, k_cond, b_cond, w_dil, b_dil, w_out,
 # --------------------------------------------------------------------------
 # forward kernel (training variant: in-kernel cond projection, saves xs)
 # --------------------------------------------------------------------------
-def _make_fwd_kernel(dilations: Sequence[int], num_layers: int, compute_dtype):
+def _make_fwd_kernel(dilations: Sequence[int], num_layers: int, compute_dtype,
+                     save_xs: bool = True):
     dilation_set = sorted(set(dilations))
     dt = compute_dtype
 
     def kernel(dil_idx_ref, x0_ref, step_ref, cond_ref, kcond_ref, bcond_ref,
                wdil_ref, bdil_ref, wout_ref, bout_ref,
-               out_ref, xs_ref, x_scr, skip_scr):
+               out_ref, *rest):
+        # rest = (xs_ref, x_scr, skip_scr) when save_xs else (x_scr, skip_scr)
+        xs_ref = rest[0] if save_xs else None
+        x_scr, skip_scr = rest[-2], rest[-1]
         l = pl.program_id(1)
 
         @pl.when(l == 0)
@@ -87,7 +91,8 @@ def _make_fwd_kernel(dilations: Sequence[int], num_layers: int, compute_dtype):
 
         bt, t, c = x_scr.shape
         x = x_scr[:]
-        xs_ref[0] = x.astype(xs_ref.dtype)  # save layer input for backward
+        if save_xs:
+            xs_ref[0] = x.astype(xs_ref.dtype)  # save layer input for backward
         y = x + step_ref[0]
         if dt is not None:
             y = y.astype(dt)
@@ -256,7 +261,8 @@ def _make_bwd_kernel(dilations: Sequence[int], num_layers: int, compute_dtype):
 # pallas_call wrappers + custom VJP
 # --------------------------------------------------------------------------
 def _fwd_call(x0, step_proj, cond, k_cond, b_cond, w_dil, b_dil, w_out, b_out,
-              dilations, batch_tile, interpret, compute_dtype, save_dtype):
+              dilations, batch_tile, interpret, compute_dtype, save_dtype,
+              save_xs: bool = True):
     bsz, t, c = x0.shape
     h = cond.shape[-1]
     num_layers = w_dil.shape[0]
@@ -270,7 +276,7 @@ def _fwd_call(x0, step_proj, cond, k_cond, b_cond, w_dil, b_dil, w_out, b_out,
         w_dil, w_out, k_cond = (w_dil.astype(cdt), w_out.astype(cdt),
                                 k_cond.astype(cdt))
         cond = cond.astype(cdt)
-    kernel = _make_fwd_kernel(dilations, num_layers, cdt)
+    kernel = _make_fwd_kernel(dilations, num_layers, cdt, save_xs=save_xs)
     step4 = step_proj[:, :, None, :]
     b_cond2 = b_cond[:, None, :]
     b_dil2 = b_dil[:, None, :]
@@ -289,10 +295,10 @@ def _fwd_call(x0, step_proj, cond, k_cond, b_cond, w_dil, b_dil, w_out, b_out,
             pl.BlockSpec((1, c, 2 * c), lambda b, l, *_: (l, 0, 0)),        # w_out
             pl.BlockSpec((1, 1, 2 * c), lambda b, l, *_: (l, 0, 0)),        # b_out
         ],
-        out_specs=[
+        out_specs=([
             pl.BlockSpec((bt, t, c), lambda b, l, *_: (b, 0, 0)),           # skips
-            pl.BlockSpec((1, bt, t, c), lambda b, l, *_: (l, b, 0, 0)),     # xs
-        ],
+        ] + ([pl.BlockSpec((1, bt, t, c), lambda b, l, *_: (l, b, 0, 0))]   # xs
+             if save_xs else [])),
         scratch_shapes=[
             pltpu.VMEM((bt, t, c), jnp.float32),
             pltpu.VMEM((bt, t, c), jnp.float32),
@@ -302,13 +308,15 @@ def _fwd_call(x0, step_proj, cond, k_cond, b_cond, w_dil, b_dil, w_out, b_out,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((bsz, t, c), jnp.float32),
-                   jax.ShapeDtypeStruct((num_layers, bsz, t, c),
-                                        jnp.dtype(save_dtype))],
+    out_shape = [jax.ShapeDtypeStruct((bsz, t, c), jnp.float32)]
+    if save_xs:
+        out_shape.append(jax.ShapeDtypeStruct((num_layers, bsz, t, c),
+                                              jnp.dtype(save_dtype)))
+    res = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret, **kwargs,
     )(dil_idx, x0, step4, cond, k_cond, b_cond2, w_dil, b_dil2, w_out, b_out2)
+    return res if save_xs else (res[0], None)
 
 
 def _bwd_call(xs, step_proj, cond, k_cond, b_cond, w_dil, b_dil, w_out, ds,
@@ -410,9 +418,11 @@ def make_stack_vjp(dilations: tuple, batch_tile: int = 1,
     @jax.custom_vjp
     def stack_fn(x0, step_proj, cond, k_cond, b_cond, w_dil, b_dil, w_out,
                  b_out):
+        # primal-only call (e.g. validation loss): skip the [L,B,T,C] saved-
+        # activation writes — no backward will consume them (advisor r3)
         out, _ = _fwd_call(x0, step_proj, cond, k_cond, b_cond, w_dil, b_dil,
                            w_out, b_out, dilations, batch_tile, interpret,
-                           compute_dtype, save_dtype)
+                           compute_dtype, save_dtype, save_xs=False)
         return out
 
     def fwd(x0, step_proj, cond, k_cond, b_cond, w_dil, b_dil, w_out, b_out):

@@ -42,7 +42,35 @@ def _batch_arrays(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
             and k not in ARRAY_KEYS_EXCLUDE}
 
 
-def _flat_wrap(tx: optax.GradientTransformation, params, mask
+def partition_params(params, mask):
+    """Split a nested-dict param tree into (trainable, frozen) trees by a
+    bool tree from :func:`trainable_mask`.
+
+    Matches the reference's ``requires_grad=False`` freezing
+    (usr/diffsinger_task.py:60-64, usr/diffspeech_task.py:33-38): the loss is
+    differentiated w.r.t. the trainable subtree ONLY, so XLA never builds the
+    frozen backward, and grad-norm/clip never see frozen params. Empty
+    subtrees (e.g. a ``batch_stats: {}`` placeholder) ride in the frozen tree
+    so merge restores the exact input structure."""
+    import flax.traverse_util as trav
+
+    flat = trav.flatten_dict(params, keep_empty_nodes=True)
+    fmask = trav.flatten_dict(mask)
+    train = {k: v for k, v in flat.items() if fmask.get(k, False)}
+    frozen = {k: v for k, v in flat.items() if not fmask.get(k, False)}
+    return trav.unflatten_dict(train), trav.unflatten_dict(frozen)
+
+
+def merge_params(a, b):
+    """Inverse of :func:`partition_params`."""
+    import flax.traverse_util as trav
+
+    flat = trav.flatten_dict(a, keep_empty_nodes=True)
+    flat.update(trav.flatten_dict(b, keep_empty_nodes=True))
+    return trav.unflatten_dict(flat)
+
+
+def _flat_wrap(tx: optax.GradientTransformation, params
                ) -> optax.GradientTransformation:
     """Run the optimizer math over ONE concatenated flat vector.
 
@@ -50,37 +78,35 @@ def _flat_wrap(tx: optax.GradientTransformation, params, mask
     hundreds of tiny XLA fusions whose launch overhead dominates the actual
     HBM traffic (measured ~4.2 ms/step at B=24 vs a ~0.7 ms bandwidth
     roofline, tools/bench_train_stages.py). Flattening runs the whole update
-    as a handful of big elementwise kernels. Semantics match the
-    multi_transform(freeze) form: frozen leaves contribute 0 to the clip norm
-    (grads masked before flattening) and receive 0 update (updates masked
-    after unflattening — this also stops weight decay from leaking into
-    frozen params). Only used for replicated params (dp-only meshes): a flat
-    m/v vector cannot follow per-param tensor-parallel shardings.
-    """
+    as a handful of big elementwise kernels. Only used for replicated params
+    (dp-only meshes): a flat m/v vector cannot follow per-param
+    tensor-parallel shardings. Operates on the TRAINABLE subtree (freezing is
+    structural: frozen params never reach the optimizer)."""
     from jax.flatten_util import ravel_pytree
 
     _, unravel = ravel_pytree(params)
-
-    def mask_zeros(tree):
-        return jax.tree_util.tree_map(
-            lambda x, m: x if m else jnp.zeros_like(x), tree, mask)
 
     def init(p):
         flat, _ = ravel_pytree(p)
         return tx.init(flat)
 
     def update(grads, state, p=None):
-        gflat, _ = ravel_pytree(mask_zeros(grads))
+        gflat, _ = ravel_pytree(grads)
         pflat, _ = ravel_pytree(p)
         uflat, state = tx.update(gflat, state, pflat)
-        return mask_zeros(unravel(uflat)), state
+        return unravel(uflat), state
 
     return optax.GradientTransformation(init, update)
 
 
-def build_optimizer(hp: Dict[str, Any], params, rule,
+def build_optimizer(hp: Dict[str, Any], params,
                     batches_per_epoch: Optional[int] = None,
                     mesh=None) -> optax.GradientTransformation:
+    """Optimizer over ``params`` — pass the TRAINABLE subtree (see
+    :func:`partition_params`); frozen params are excluded structurally rather
+    than masked, so clip/grad-norm semantics match the reference's
+    ``requires_grad=False`` (tasks/base_task.py optimizer over trainable
+    parameters only)."""
     schedule = build_lr_schedule(hp)
     b1 = float(hp.get("optimizer_adam_beta1", 0.9))
     b2 = float(hp.get("optimizer_adam_beta2", 0.98))
@@ -93,16 +119,10 @@ def build_optimizer(hp: Dict[str, Any], params, rule,
     clip = float(hp.get("clip_grad_norm", 0) or 0)
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
-    mask = trainable_mask(params, rule)
     model_sharded = (int(hp.get("num_model_shards", 1) or 1) > 1
                      or (mesh is not None and mesh.shape.get("model", 1) > 1))
     if bool(hp.get("flat_optimizer", True)) and not model_sharded:
-        tx = _flat_wrap(tx, params, mask)
-    else:
-        labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze",
-                                        mask)
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()}, labels)
+        tx = _flat_wrap(tx, params)
     accum = hp.get("accumulate_grad_batches", 1)
     if isinstance(accum, dict):
         # per-epoch schedule {epoch: factor} (reference
@@ -135,6 +155,7 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self.tx = None
+        self.mask = None  # trainable-leaf bool tree (set by initialize)
         self.batches_per_epoch = None  # needed for dict grad-accum schedules
         self._train_step_fn = None
         self._writer = None
@@ -151,11 +172,13 @@ class Trainer:
         batch = _batch_arrays(sample_batch)
         self.params = self.task.init_params(rng, batch)
         self.load_warm_start()
-        self.tx = build_optimizer(self.hp, self.params,
-                                  self.task.trainable_rule(),
+        # structural freeze: optimizer state exists only for trainable leaves
+        self.mask = trainable_mask(self.params, self.task.trainable_rule())
+        pt, _ = partition_params(self.params, self.mask)
+        self.tx = build_optimizer(self.hp, pt,
                                   batches_per_epoch=self.batches_per_epoch,
                                   mesh=self.mesh)
-        self.opt_state = self.tx.init(self.params)
+        self.opt_state = self.tx.init(pt)
         self.restore()  # auto-resume if checkpoints exist
         self._place()
         if jax.process_index() == 0:  # reference utils/__init__.py:240-250
@@ -183,7 +206,8 @@ class Trainer:
                                                  p_sh)
             # re-derive optimizer state from the placed params so the moments
             # inherit each param's sharding (TP resume re-initializes moments)
-            self.opt_state = self.tx.init(self.params)
+            self.opt_state = self.tx.init(
+                partition_params(self.params, self.mask)[0])
         else:
             sharding = replicated(self.mesh)
             self.params = jax.device_put(self.params, sharding)
@@ -198,19 +222,28 @@ class Trainer:
         if "use_gt_f0" in type(task).train_loss.__code__.co_varnames:
             kw["use_gt_f0"] = use_gt_f0
 
+        mask = self.mask
+
         # NOTE: no unused args here — every argument is a per-call host->device
         # upload (a real HTTP round trip through the axon dev tunnel)
         def train_step(params, opt_state, batch, rng):
-            def loss_fn(p):
-                total, losses = task.train_loss(p, batch, rng, global_step=None,
+            # differentiate w.r.t. the trainable subtree only: XLA never
+            # builds the frozen (e.g. whole-FS2) backward, and grad_norm /
+            # clip see exactly what the reference's requires_grad=True set is
+            p_train, p_frozen = partition_params(params, mask)
+
+            def loss_fn(pt):
+                total, losses = task.train_loss(merge_params(pt, p_frozen),
+                                                batch, rng, global_step=None,
                                                 **kw)
                 new_state = losses.pop("_new_state", None)
                 return total, (losses, new_state)
 
             (total, (losses, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+                loss_fn, has_aux=True)(p_train)
+            updates, opt_state = tx.update(grads, opt_state, p_train)
+            p_train = optax.apply_updates(p_train, updates)
+            params = merge_params(p_train, p_frozen)
             if new_state is not None and "batch_stats" in params:
                 params = {**params, "batch_stats": new_state}
             losses["total_loss"] = total
@@ -388,10 +421,36 @@ class Trainer:
         step = mgr.latest_step()
         if step is None:
             return False
-        restored = mgr.restore(step, args=ocp.args.PyTreeRestore(
-            {"params": self.params, "opt_state": self.opt_state}))
-        self.params = restored["params"]
-        self.opt_state = restored["opt_state"]
+        try:
+            restored = mgr.restore(step, args=ocp.args.PyTreeRestore(
+                {"params": self.params, "opt_state": self.opt_state}))
+            self.params = restored["params"]
+            self.opt_state = restored["opt_state"]
+        except Exception as e:
+            # opt_state layout changed between save and resume (e.g. a
+            # checkpoint written before flat_optimizer, or before structural
+            # freezing moved frozen leaves out of the optimizer). Params are
+            # plain nested dicts, so a reference-free restore recovers them;
+            # moments are re-initialized with a warning (advisor r3).
+            raw = mgr.restore(step)
+            import flax.traverse_util as trav
+
+            want = set(trav.flatten_dict(self.params))
+            got = set(trav.flatten_dict(raw.get("params", {})))
+            if want != got:
+                raise RuntimeError(
+                    f"checkpoint at step {step} does not match the model: "
+                    f"missing={sorted(want - got)[:5]} "
+                    f"unexpected={sorted(got - want)[:5]}") from e
+            self.params = jax.tree_util.tree_map(
+                lambda ref, v: jnp.asarray(v, ref.dtype), self.params,
+                raw["params"])
+            pt, _ = partition_params(self.params, self.mask)
+            self.opt_state = self.tx.init(pt)
+            print(f"| WARNING: optimizer state at step {step} has an "
+                  "incompatible layout (saved under a different optimizer "
+                  "config); restored params and re-initialized moments "
+                  f"({type(e).__name__}: {e})")
         self.global_step = int(step)
         best_fn = os.path.join(self.work_dir, "best_valid.npy")
         if os.path.exists(best_fn):

@@ -131,3 +131,34 @@ def test_frozen_fs2_gets_no_updates(data_dir, tmp_path):
                                       dn_before, jax.tree_util.tree_map(
                                           np.asarray, trainer.params["denoiser"]))
     assert max(jax.tree_util.tree_leaves(dn_diffs)) > 0.0
+
+
+def test_restore_from_incompatible_opt_layout(data_dir, tmp_path):
+    """A checkpoint saved under a different optimizer layout (here: tree-form
+    opt_state from flat_optimizer=False) must still resume: params restored
+    exactly, moments re-initialized with a warning instead of crashing
+    (advisor r3 — covers pre-flat_optimizer and pre-structural-freeze
+    checkpoints)."""
+    hp = tiny_hparams(data_dir, work_dir=str(tmp_path / "exp5"),
+                      flat_optimizer=False)
+    train_ds = FastSpeechDataset(hp, "train")
+    trainer = Trainer(hp, build_task(hp, vocab_size=10),
+                      mesh=make_mesh(num_data=8))
+    trainer.initialize(_first_batch(train_ds))
+    trainer.train_step(_first_batch(train_ds), jax.random.PRNGKey(0))
+    trainer.save_checkpoint()
+    params_saved = jax.tree_util.tree_map(np.asarray, trainer.params)
+    step_saved = trainer.global_step
+
+    hp2 = dict(hp, flat_optimizer=True)  # new layout: flat AdamW vector
+    trainer2 = Trainer(hp2, build_task(hp2, vocab_size=10),
+                       mesh=make_mesh(num_data=8))
+    trainer2.initialize(_first_batch(train_ds))  # restore() must not raise
+    assert trainer2.global_step == step_saved
+    for a, b in zip(jax.tree_util.tree_leaves(params_saved),
+                    jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                        np.asarray, trainer2.params))):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    # training continues from the restored params
+    out = trainer2.train_step(_first_batch(train_ds), jax.random.PRNGKey(1))
+    assert np.isfinite(float(out["total_loss"]))

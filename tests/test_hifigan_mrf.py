@@ -101,7 +101,7 @@ def test_generator_framewise_source_matches_exact_mode():
               upsample_initial_channel=64, resblock_kernel_sizes=(3, 7),
               resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
               use_pitch_embed=True, audio_sample_rate=22050)
-    gen_fast = HifiGanGenerator(HifiGanConfig(**kw))  # framewise default
+    gen_fast = HifiGanGenerator(HifiGanConfig(source_mode="framewise", **kw))
     gen_exact = HifiGanGenerator(HifiGanConfig(source_mode="exact", **kw))
     rng = np.random.RandomState(1)
     mel = jnp.asarray(rng.randn(2, 64, 80).astype(np.float32) * 0.5 - 2.0)

@@ -287,7 +287,6 @@ def test_diffnet_train_stack_grads_bf16_mode():
     grads_r = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
     for i, (gp, gr) in enumerate(zip(grads_p, grads_r)):
         gp, gr = np.asarray(gp, np.float64), np.asarray(gr, np.float64)
-        assert gp.dtype == gr.dtype or True  # shapes must agree; dtype may not
         assert gp.shape == gr.shape
         # bf16 inputs + bf16 grad streams: ~1e-2 relative agreement, and the
         # direction must be essentially exact

@@ -227,9 +227,10 @@ def test_fit_with_train_steps_per_call(tmp_path):
 
 def test_flat_optimizer_matches_tree_optimizer():
     """_flat_wrap (one concatenated AdamW vector) must be numerically
-    equivalent to the multi_transform(freeze) tree form: same updates for
-    trainable leaves, exact zeros (incl. no weight-decay leak) for frozen
-    ones, same clip-norm behavior, over several steps."""
+    equivalent to the plain per-leaf form: same updates for every leaf, same
+    clip-norm behavior, over several steps. (Freezing is structural now —
+    frozen leaves never reach the optimizer; see
+    test_partitioned_step_matches_full_grads.)"""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -243,11 +244,10 @@ def test_flat_optimizer_matches_tree_optimizer():
                 "b": jnp.asarray(rng.randn(8), jnp.float32)},
         "denoiser": {"k": jnp.asarray(rng.randn(4, 4), jnp.float32)},
     }
-    rule = lambda path: path[0] != "fs2"  # freeze fs2 (DiffSingerTask policy)
     hp = dict(lr=0.01, decay_steps=1000, clip_grad_norm=0.5, weight_decay=0.1,
               optimizer_adam_beta1=0.9, optimizer_adam_beta2=0.98)
-    tx_flat = build_optimizer({**hp, "flat_optimizer": True}, params, rule)
-    tx_tree = build_optimizer({**hp, "flat_optimizer": False}, params, rule)
+    tx_flat = build_optimizer({**hp, "flat_optimizer": True}, params)
+    tx_tree = build_optimizer({**hp, "flat_optimizer": False}, params)
     s_f, s_t = tx_flat.init(params), tx_tree.init(params)
     p_f = p_t = params
     for i in range(3):
@@ -256,12 +256,57 @@ def test_flat_optimizer_matches_tree_optimizer():
             params)
         u_f, s_f = tx_flat.update(grads, s_f, p_f)
         u_t, s_t = tx_tree.update(grads, s_t, p_t)
-        for kf, kt in [("fs2", "fs2"), ("denoiser", "denoiser")]:
+        for kf in ("fs2", "denoiser"):
             for leaf in u_f[kf]:
                 np.testing.assert_allclose(np.asarray(u_f[kf][leaf]),
-                                           np.asarray(u_t[kt][leaf]),
+                                           np.asarray(u_t[kf][leaf]),
                                            rtol=1e-6, atol=1e-7)
-        assert float(jnp.abs(u_f["fs2"]["w"]).max()) == 0.0  # frozen, no wd leak
-        assert float(jnp.abs(u_f["denoiser"]["k"]).max()) > 0.0
         p_f = optax.apply_updates(p_f, u_f)
         p_t = optax.apply_updates(p_t, u_t)
+
+
+def test_partitioned_step_matches_full_grads():
+    """The structurally-frozen train step (grads w.r.t. the trainable subtree
+    only, reference requires_grad=False semantics) must produce exactly the
+    gradients a full-tree jax.grad gives on the trainable leaves, keep frozen
+    leaves bit-identical, and report grad_norm over the trainable subtree
+    only (reference usr/diffsinger_task.py:60-64 — frozen FS2 params never
+    appear in the optimizer or the norm)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from diffsinger_tpu.training.tasks import trainable_mask
+    from diffsinger_tpu.training.trainer import (merge_params,
+                                                 partition_params)
+
+    rng = np.random.RandomState(1)
+    params = {
+        "fs2": {"enc": {"w": jnp.asarray(rng.randn(6, 4), jnp.float32)},
+                "b": jnp.asarray(rng.randn(4), jnp.float32)},
+        "denoiser": {"k": jnp.asarray(rng.randn(4, 3), jnp.float32)},
+        "batch_stats": {},  # empty subtree must survive partition/merge
+    }
+    x = jnp.asarray(rng.randn(5, 6), jnp.float32)
+
+    def loss(p):
+        h = jnp.tanh(x @ p["fs2"]["enc"]["w"] + p["fs2"]["b"])
+        return jnp.sum((h @ p["denoiser"]["k"]) ** 2)
+
+    mask = trainable_mask(params, lambda path: path[0] == "denoiser")
+    pt, pf = partition_params(params, mask)
+    merged = merge_params(pt, pf)
+    assert jax.tree_util.tree_structure(merged) == \
+        jax.tree_util.tree_structure(params)  # incl. empty batch_stats
+
+    grads_t = jax.grad(lambda q: loss(merge_params(q, pf)))(pt)
+    grads_full = jax.grad(loss)(params)
+    np.testing.assert_allclose(np.asarray(grads_t["denoiser"]["k"]),
+                               np.asarray(grads_full["denoiser"]["k"]),
+                               rtol=1e-6)
+    # grad_norm covers the trainable subtree only
+    gn = float(optax.global_norm(grads_t))
+    gn_expected = float(jnp.linalg.norm(grads_full["denoiser"]["k"]))
+    np.testing.assert_allclose(gn, gn_expected, rtol=1e-6)
+    assert gn != float(optax.global_norm(grads_full))  # fs2 excluded

@@ -51,7 +51,8 @@ def main():
         rng = np.random.RandomState(0)
         # production vocoder config: NSF source + bf16 conv stacks (BENCH
         # vocoder table: bf16 module is the B=8 winner, fused-MRF the B=1 one)
-        vcfg = HifiGanConfig(use_pitch_embed=True, compute_dtype="bfloat16")
+        vcfg = HifiGanConfig(use_pitch_embed=True, compute_dtype="bfloat16",
+                          source_mode="framewise")
         gen = HifiGanGenerator(vcfg)
         from diffsinger_tpu.ops.hifigan_mrf import hifigan_mrf_apply
         mel0 = jnp.zeros((1, T_MEL, 80), jnp.float32)

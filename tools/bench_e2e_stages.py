@@ -65,7 +65,8 @@ def main():
     batch = g._synthetic_batch(rng, b=B, t_txt=T_TXT, t_mel=T_MEL)
     params = task.init_params(jax.random.PRNGKey(0), batch)
 
-    cfg_nsf = HifiGanConfig(use_pitch_embed=True, compute_dtype="bfloat16")
+    cfg_nsf = HifiGanConfig(use_pitch_embed=True, compute_dtype="bfloat16",
+                          source_mode="framewise")
     cfg_plain = HifiGanConfig(compute_dtype="bfloat16")
     gen_nsf = HifiGanGenerator(cfg_nsf)
     gen_plain = HifiGanGenerator(cfg_plain)

@@ -172,18 +172,23 @@ def main():
            lambda p: jax.grad(lambda q: task_np.train_loss(
                q, arrays, jax.random.PRNGKey(0))[0])(p), params_np)
 
-    # optimizer update alone
-    tx = build_optimizer(hp, params, task.trainable_rule())
-    opt_state = tx.init(params)
+    # optimizer update alone (trainable subtree, as the Trainer runs it)
+    from diffsinger_tpu.training.tasks import trainable_mask
+    from diffsinger_tpu.training.trainer import partition_params
+
+    mask = trainable_mask(params, task.trainable_rule())
+    pt, _ = partition_params(params, mask)
+    tx = build_optimizer(hp, pt)
+    opt_state = tx.init(pt)
     grads = jax.jit(lambda p: jax.grad(fwd_only)(p))(params)
+    grads_t, _ = partition_params(grads, mask)
 
     def opt_step(g_, s_, p_):
         import optax
         u, s2 = tx.update(g_, s_, p_)
         return optax.apply_updates(p_, u)
 
-    timeit("optimizer update (clip+adamw+mask)", opt_step, grads, opt_state,
-           params)
+    timeit("optimizer update (clip+adamw)", opt_step, grads_t, opt_state, pt)
 
 
 if __name__ == "__main__":

@@ -145,21 +145,31 @@ def _build_train_step():
     batch = g._synthetic_batch(rng, b=TR_B, t_txt=TR_T_TXT, t_mel=TR_T_MEL)
     arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
     params = task.init_params(jax.random.PRNGKey(0), batch)
-    tx = build_optimizer(hp, params, task.trainable_rule())
+    from diffsinger_tpu.training.tasks import trainable_mask
+    from diffsinger_tpu.training.trainer import merge_params, partition_params
+
+    mask = trainable_mask(params, task.trainable_rule())
+    tx = build_optimizer(hp, partition_params(params, mask)[0])
 
     def step(p, s, key):
         import optax
 
-        def loss_fn(pp):
-            total, _ = task.train_loss(pp, arrays, key)
+        pt, pf = partition_params(p, mask)
+
+        def loss_fn(pt_):
+            total, _ = task.train_loss(merge_params(pt_, pf), arrays, key)
             return total
 
-        total, grads = jax.value_and_grad(loss_fn)(p)
-        updates, s = tx.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
+        total, grads = jax.value_and_grad(loss_fn)(pt)
+        updates, s = tx.update(grads, s, pt)
+        p = merge_params(optax.apply_updates(pt, updates), pf)
         return p, s, total, optax.global_norm(grads)
 
-    return params, tx, jax.jit(step)
+    class _Tx:  # opt-state init from FULL params (partitions like Trainer)
+        def init(self, p):
+            return tx.init(partition_params(p, mask)[0])
+
+    return params, _Tx(), jax.jit(step)
 
 
 def _build_denoiser_step():
