@@ -38,8 +38,19 @@ def load_torch_state_dict(ckpt_path: str, prefix: str = "model.") -> Dict[str, n
     sd = ckpt.get("state_dict", ckpt)
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
+
+    def _flatten(d, base=""):
+        # official PWG pkls nest dicts (ckpt["model"]["generator"] -> flat sd,
+        # reference vocoders/pwg.py:30); flatten to dotted keys
+        for k, v in d.items():
+            key = f"{base}{k}"
+            if isinstance(v, dict):
+                yield from _flatten(v, key + ".")
+            else:
+                yield key, v
+
     out = {}
-    for k, v in sd.items():
+    for k, v in _flatten(sd):
         if prefix and not k.startswith(prefix):
             continue
         key = k[len(prefix):] if prefix else k

@@ -97,3 +97,80 @@ def test_pitch_extractor(rng):
     f0 = np.asarray(ret["f0_denorm_pred"])
     assert f0.shape == (2, 25)
     assert (f0[0, 20:] == 0).all()  # padding -> zero f0
+
+
+def test_pwg_official_ckpt_scaler(tmp_path, rng):
+    """Official ParallelWaveGAN checkpoints (no 'state_dict' wrapper) must get
+    their mels standardized by the training-set stats before synthesis
+    (reference vocoders/pwg.py:28-39 StandardScaler from stats.h5/stats.npy,
+    applied at spec2wav:89-90). Verified against a manual transform through
+    the same generator, for both stats formats."""
+    import sys
+
+    import yaml
+
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    import scipy.signal as ss
+
+    if not hasattr(ss, "kaiser"):  # scipy>=1.13 moved it to .windows
+        ss.kaiser = ss.windows.kaiser
+    from modules.parallel_wavegan.models.parallel_wavegan import \
+        ParallelWaveGANGenerator as RefPWG
+
+    from diffsinger_tpu.inference.vocoder import PWG
+
+    torch.manual_seed(0)
+    m, w, scales = 80, 2, (2, 2)
+    gen_params = dict(layers=4, stacks=2, residual_channels=8,
+                      gate_channels=16, skip_channels=8, aux_channels=m,
+                      aux_context_window=w,
+                      upsample_params={"upsample_scales": list(scales)})
+    ref = RefPWG(**gen_params).eval()
+    hop = int(np.prod(scales))
+    mean = rng.randn(m).astype(np.float32)
+    scale = (0.5 + np.abs(rng.randn(m))).astype(np.float32)
+    mel = rng.randn(12, m).astype(np.float32)
+
+    def build_dir(d, fmt):
+        d.mkdir()
+        torch.save({"model": {"generator": ref.state_dict()}},
+                   d / "checkpoint-1000steps.pkl")
+        with open(d / "config.yaml", "w") as f:
+            yaml.safe_dump({"generator_params": gen_params, "format": fmt,
+                            "hop_size": hop}, f)
+        if fmt == "hdf5":
+            import h5py
+
+            with h5py.File(d / "stats.h5", "w") as f:
+                f.create_dataset("mean", data=mean)
+                f.create_dataset("scale", data=scale)
+        else:
+            np.save(d / "stats.npy", np.stack([mean, scale]))
+
+    wavs = {}
+    for fmt in ("hdf5", "npy"):
+        d = tmp_path / fmt
+        build_dir(d, fmt)
+        hp = {"vocoder_ckpt": str(d), "hop_size": hop, "audio_sample_rate": 16000}
+        voc = PWG(hp)
+        assert voc.scaler is not None
+        np.testing.assert_allclose(voc.scaler[0], mean, atol=1e-6)
+        np.testing.assert_allclose(voc.scaler[1], scale, atol=1e-6)
+        wavs[fmt] = voc.spec2wav(mel)
+        # manual oracle: standardize, edge-pad, same z, direct apply
+        c = np.pad((mel - mean) / scale, ((w, w), (0, 0)), "edge")[None]
+        z = np.asarray(jax.random.normal(jax.random.PRNGKey(0),
+                                         (1, mel.shape[0] * hop)))
+        want = np.asarray(voc._apply(voc.params, z, c, None))[0]
+        np.testing.assert_allclose(wavs[fmt], want, atol=1e-6)
+    np.testing.assert_allclose(wavs["hdf5"], wavs["npy"], atol=1e-7)
+
+    # missing stats for an official ckpt must fail loudly, not produce wrong audio
+    d_bad = tmp_path / "nostats"
+    build_dir(d_bad, "npy")
+    (d_bad / "stats.npy").unlink()
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        PWG({"vocoder_ckpt": str(d_bad), "hop_size": hop})
