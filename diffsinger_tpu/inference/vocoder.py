@@ -136,6 +136,23 @@ class HifiGAN(BaseVocoder):
                 return hifigan_mrf_apply(params, cfg, mel, f0, rng)
 
             return fn
+        if backend == "packed":
+            # time-folded small-channel scales: adjacent output frames packed
+            # into MXU lanes, ConvTranspose bridges the layouts
+            # (ops/hifigan_packed.py)
+            if self.cfg.resblock != "1":
+                raise ValueError("vocoder_backend 'packed' supports resblock "
+                                 "'1' (the released HiFiGAN v1 configs)")
+            from diffsinger_tpu.ops.hifigan_packed import hifigan_packed_apply
+
+            cfg = self.cfg
+            max_ch = int(self.hp.get("vocoder_packed_max_channels", 64))
+
+            def fn(params, mel, f0=None, rng=None):
+                return hifigan_packed_apply(params, cfg, mel, f0, rng,
+                                            max_packed_channels=max_ch)
+
+            return fn
         from diffsinger_tpu.ops.hifigan_fast import hifigan_fast_apply
 
         cfg = self.cfg

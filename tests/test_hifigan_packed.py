@@ -1,0 +1,150 @@
+"""Time-folded ("packed") HiFiGAN backend (ops/hifigan_packed.py): the folded
+conv/conv-transpose weight assembly must be EXACTLY the standard op in a
+different layout, and the full generator must match the flax module path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsinger_tpu.models.hifigan import (HifiGanConfig, HifiGanGenerator,
+                                           conv_transpose_1d)
+from diffsinger_tpu.ops.hifigan_packed import (folded_conv1d,
+                                               folded_conv_transpose1d,
+                                               hifigan_packed_apply)
+
+
+def _pack(x, p, theta):
+    """Reference packing: frame f -> (row (f+theta)//p, lane-block
+    (f+theta)%p); out-of-range positions zero."""
+    b, t, c = x.shape
+    r = -(-(t + theta) // p)
+    xq = np.zeros((b, r * p, c), x.dtype)
+    xq[:, theta:theta + t] = x
+    return jnp.asarray(xq.reshape(b, r, p * c))
+
+
+def _unpack(xq, p, theta, t):
+    b, r, pc = xq.shape
+    return np.asarray(xq).reshape(b, r * p, pc // p)[:, theta:theta + t]
+
+
+@pytest.mark.parametrize("k,d,p,ti,to", [
+    (3, 1, 4, 0, 0), (3, 1, 4, 1, 3), (11, 5, 4, 2, 1), (7, 3, 2, 1, 0),
+    (3, 5, 2, 0, 1), (5, 1, 8, 3, 3),
+])
+def test_folded_conv_matches_std(rng, k, d, p, ti, to):
+    b, t, cin, cout = 2, 37, 6, 5
+    x = rng.randn(b, t, cin).astype(np.float32)
+    w = rng.randn(k, cin, cout).astype(np.float32)
+    bias = rng.randn(cout).astype(np.float32)
+    pad = (k * d - d) // 2
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1,), [(pad, pad)],
+        rhs_dilation=(d,), dimension_numbers=("NHC", "HIO", "NHC")) + bias
+    got = folded_conv1d(_pack(x, p, ti), jnp.asarray(w), jnp.asarray(bias),
+                        d=d, pad=pad, p_in=p, p_out=p, theta_in=ti,
+                        theta_out=to, t_out=t)
+    np.testing.assert_allclose(_unpack(got, p, to, t), np.asarray(want),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("s,k,p_out,ti,to", [(2, 4, 2, 0, 1), (4, 8, 2, 0, 0)])
+def test_folded_strided_conv_matches_std(rng, s, k, p_out, ti, to):
+    """The NSF noise-conv shape: strided conv consuming a more-finely packed
+    input (p_in = s * p_out)."""
+    b, t_in, cin, cout = 2, 64, 1, 5
+    x = rng.randn(b, t_in, cin).astype(np.float32)
+    w = rng.randn(k, cin, cout).astype(np.float32)
+    bias = rng.randn(cout).astype(np.float32)
+    pad = s // 2
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (s,), [(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC")) + bias
+    t_out = want.shape[1]
+    got = folded_conv1d(_pack(x, s * p_out, ti), jnp.asarray(w),
+                        jnp.asarray(bias), s=s, pad=pad, p_in=s * p_out,
+                        p_out=p_out, theta_in=ti, theta_out=to, t_out=t_out)
+    np.testing.assert_allclose(_unpack(got, p_out, to, t_out),
+                               np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("u,k,p_in,ti,to", [
+    (2, 4, 1, 0, 1), (2, 4, 2, 1, 2), (4, 8, 1, 0, 0), (8, 16, 1, 0, 3),
+])
+def test_folded_conv_transpose_matches_std(rng, u, k, p_in, ti, to):
+    b, t_in, cin, cout = 2, 21, 6, 5
+    x = rng.randn(b, t_in, cin).astype(np.float32)
+    kernel = rng.randn(k, cout, cin).astype(np.float32)  # torch-CT layout
+    bias = rng.randn(cout).astype(np.float32)
+    pad = (k - u) // 2
+    want = conv_transpose_1d(jnp.asarray(x), jnp.asarray(kernel),
+                             jnp.asarray(bias), u, pad)
+    t_out = want.shape[1]
+    got = folded_conv_transpose1d(
+        _pack(x, p_in, ti), jnp.asarray(kernel), jnp.asarray(bias), u=u,
+        pad=pad, p_in=p_in, p_out=u * p_in, theta_in=ti, theta_out=to,
+        t_out=t_out)
+    np.testing.assert_allclose(_unpack(got, u * p_in, to, t_out),
+                               np.asarray(want), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# full generator parity
+# ---------------------------------------------------------------------------
+BASE = dict(upsample_rates=(8, 2), upsample_kernel_sizes=(16, 4),
+            upsample_initial_channel=256,
+            resblock_kernel_sizes=(3, 7, 11),
+            resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+            audio_sample_rate=22050)
+
+
+def _compare(cfg, rng, t=13, f0=None, atol=2e-4):
+    gen = HifiGanGenerator(cfg)
+    mel = jnp.asarray(rng.randn(2, t, 80).astype(np.float32) * 0.5 - 2.0)
+    key = jax.random.PRNGKey(3)
+    args = (mel,) if f0 is None else (mel, f0, key)
+    variables = gen.init(jax.random.PRNGKey(0), *args)
+    want = np.asarray(gen.apply(variables, *args))
+    got = np.asarray(hifigan_packed_apply(variables["params"], cfg, mel,
+                                          f0=f0, rng=key))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=atol)
+
+
+def test_packed_apply_matches_module(rng):
+    """Std C=128 stage -> packed C=64 stage (bridged by the folded
+    ConvTranspose) at a T that is NOT a multiple of the packing — exercises
+    the std->packed bridge, every resblock shape, the edge masking, and the
+    folded conv_post."""
+    _compare(HifiGanConfig(**BASE), rng, t=13)
+
+
+def test_packed_apply_deep_chain(rng):
+    """Consecutive packed stages (p=4 -> p=8) with a packed->packed bridge."""
+    kw = dict(BASE, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+              upsample_initial_channel=128)  # ch 32 (p=4) then 16 (p=8)
+    _compare(HifiGanConfig(**kw), rng, t=19)
+
+
+@pytest.mark.parametrize("mode", ["framewise", "exact"])
+def test_packed_apply_nsf(rng, mode):
+    """NSF excitation: the packed noise_convs (strided + k=1) must match."""
+    cfg = HifiGanConfig(use_pitch_embed=True, source_mode=mode, **BASE)
+    f0 = jnp.asarray(
+        np.abs(rng.randn(2, 16)).astype(np.float32) * 100 + 100)
+    _compare(cfg, rng, t=16, f0=f0)
+
+
+def test_packed_apply_bf16_smoke(rng):
+    """bf16 packed output stays close to bf16 module output (same cast
+    points; conv reassociation only)."""
+    cfg16 = HifiGanConfig(compute_dtype="bfloat16", **BASE)
+    gen = HifiGanGenerator(cfg16)
+    mel = jnp.asarray(rng.randn(1, 16, 80).astype(np.float32) * 0.5 - 2.0)
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    want = np.asarray(gen.apply(variables, mel))
+    got = np.asarray(hifigan_packed_apply(variables["params"], cfg16, mel))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-2)
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999

@@ -55,6 +55,10 @@ def main():
                           source_mode="framewise")
         gen = HifiGanGenerator(vcfg)
         from diffsinger_tpu.ops.hifigan_mrf import hifigan_mrf_apply
+        from diffsinger_tpu.ops.hifigan_packed import hifigan_packed_apply
+        backend = next((a for a in sys.argv[1:]
+                        if a in ("auto", "module", "mrf", "packed")), "auto")
+        print(f"| vocoder backend: {backend}", flush=True)
         mel0 = jnp.zeros((1, T_MEL, 80), jnp.float32)
         f00 = jnp.zeros((1, T_MEL), jnp.float32)
         vparams = gen.init(jax.random.PRNGKey(0), mel0, f00,
@@ -73,7 +77,12 @@ def main():
                 mel = out["mel_out"]
                 mel = jnp.where((out["mel2ph"] > 0)[..., None], mel,
                                 jnp.min(mel))
-                if b == 1:  # fused-MRF wins the low-batch latency regime
+                if backend == "packed" or (backend == "auto" and b >= 1):
+                    # r4: time-folded small-channel scales (measured winner at
+                    # both batch points — see BENCH.md vocoder table)
+                    return hifigan_packed_apply(vp, vcfg, mel,
+                                                out["f0_denorm"], k2)
+                if backend == "mrf" or (backend == "auto" and b == 1):
                     return hifigan_mrf_apply(vp, vcfg, mel, out["f0_denorm"],
                                              k2)
                 return gen.apply({"params": vp}, mel, out["f0_denorm"], k2)
@@ -108,9 +117,21 @@ def main():
                 if not transfer:
                     float(out)
                 dt = (time.perf_counter() - t0) / REPS
+                # per-rep median/min/max (each rep synced) — reporting
+                # standard per VERDICT r3 #6: single-run numbers fluctuated
+                # 14% on one row; quote the spread
+                ts = []
+                for i in range(5):
+                    t1 = time.perf_counter()
+                    out = jfn(*args, jax.random.PRNGKey(100 + i))
+                    np.asarray(out) if transfer else float(out)
+                    ts.append(time.perf_counter() - t1)
+                med = float(np.median(ts))
                 print(f"[e2e {sched} B={b} {vname:6s}] {dt * 1e3:7.2f} ms  "
                       f"RTF {audio_s / dt:6.0f}x  "
                       f"MFU {100 * mfu(flops, dt, 'bf16'):5.1f}%  "
+                      f"median5 {med * 1e3:.1f} "
+                      f"[{min(ts) * 1e3:.1f},{max(ts) * 1e3:.1f}] ms  "
                       f"(compile {compile_s:.0f}s)", flush=True)
 
 

@@ -25,13 +25,21 @@ def main():
               residual_channels=256, timesteps=100, K_step=71, max_beta=0.06,
               schedule_type="linear", pitch_type="frame", lr=0.001,
               decay_steps=50000, clip_grad_norm=1)
-    # variants: bench_train.py [B] [bf16] [nodrop] [pallas]
+    # variants: bench_train.py [B] [bf16] [nodrop] [pallas] [freeze]
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     if "bf16" in sys.argv:
         hp["compute_dtype"] = "bfloat16"
     if "pallas" in sys.argv:
         # fused training stack with the hand-written backward kernel
         hp["use_pallas_diffnet_train"] = True
+    if "freeze" in sys.argv:
+        # DiffSinger production semantics (usr/diffsinger_task.py:60-64): the
+        # whole FS2 is frozen. Round-4 structural freezing means XLA never
+        # builds the FS2 backward — this flag measures that saving. (The ckpt
+        # path doesn't exist; warm start is skipped with a warning, which is
+        # fine — the bench measures step cost, not convergence.)
+        hp["fs2_ckpt"] = "__bench_frozen__"
+        hp["freeze_fs2_all"] = True
     if "nodrop" not in sys.argv:
         # flagship lj_ds_beta6 training rates (the honest workload; threefry
         # mask generation is part of the real step cost)

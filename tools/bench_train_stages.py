@@ -103,6 +103,12 @@ def main():
               residual_channels=256, timesteps=100, K_step=71, max_beta=0.06,
               schedule_type="linear", pitch_type="frame", lr=0.001,
               decay_steps=50000, clip_grad_norm=1)
+    if "bf16" in sys.argv:  # production compute dtype (BENCH.md training)
+        hp["compute_dtype"] = "bfloat16"
+    if "dropout" in sys.argv:  # flagship training rates (part of step cost)
+        hp.update(dropout=0.1, predictor_dropout=0.5)
+    print(f"| stages at compute_dtype={hp.get('compute_dtype', 'float32')}",
+          flush=True)
     task = build_task(hp, vocab_size=80)
     params = task.init_params(jax.random.PRNGKey(0), batch)
     arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}

@@ -30,6 +30,7 @@ def main():
     from diffsinger_tpu.ops.flops import hifigan_flops, mfu
     from diffsinger_tpu.ops.hifigan_fast import hifigan_fast_apply
     from diffsinger_tpu.ops.hifigan_mrf import hifigan_mrf_apply
+    from diffsinger_tpu.ops.hifigan_packed import hifigan_packed_apply
 
     hp = dict(audio_num_mel_bins=80, upsample_initial_channel=512,
               upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
@@ -49,6 +50,14 @@ def main():
             {"params": p}, m)),
         ("mrf", "f32"): jax.jit(lambda p, m: hifigan_mrf_apply(p, cfg, m)),
         ("mrf", "bf16"): jax.jit(lambda p, m: hifigan_mrf_apply(p, cfg16, m)),
+        ("packed", "f32"): jax.jit(
+            lambda p, m: hifigan_packed_apply(p, cfg, m)),
+        ("packed", "bf16"): jax.jit(
+            lambda p, m: hifigan_packed_apply(p, cfg16, m)),
+        # packed only where it is lane-bound hardest (C=32), C=64 stays XLA
+        ("packed32", "bf16"): jax.jit(
+            lambda p, m: hifigan_packed_apply(p, cfg16, m,
+                                              max_packed_channels=32)),
     }
     if "fast" in sys.argv:  # round-2 negative result, re-measure on demand
         fns[("fast", "f32")] = jax.jit(lambda p, m: hifigan_fast_apply(p, cfg, m))

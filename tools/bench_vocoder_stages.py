@@ -108,5 +108,97 @@ def main():
         print(f"  B={b}: bf16 max|err| {err:.4f}  corr {corr:.6f}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "packedcmp" not in sys.argv:
     main()
+
+
+def packedcmp():
+    """Stage-isolated: XLA resblock stack vs the time-folded (packed) stack at
+    the two lane-bound scales, B=8 bf16 (the production batched point). The
+    packed input arrives pre-folded — in the real pipeline the ConvTranspose
+    bridge emits that layout directly, so folding is not part of stage cost."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from diffsinger_tpu.ops.hifigan_packed import (LRELU_SLOPE,
+                                                   packed_resblock_stage)
+
+    KS, DS = (3, 7, 11), ((1, 3, 5),) * 3
+    B, REPS_ = 8, 10
+    rng = np.random.RandomState(0)
+
+    def mk_params(stage, c):
+        out = {}
+        for j, k in enumerate(KS):
+            rb = {}
+            for i in range(3):
+                for nm in ("convs1", "convs2"):
+                    rb[f"{nm}_{i}"] = {
+                        "kernel": jnp.asarray(
+                            rng.randn(k, c, c).astype(np.float32) * 0.02),
+                        "bias": jnp.asarray(
+                            rng.randn(c).astype(np.float32) * 0.01)}
+            out[f"resblocks_{stage * 3 + j}"] = rb
+        return out
+
+    def xla_stack(params, stage, c, x):
+        xs = None
+        for j, (k, dils) in enumerate(zip(KS, DS)):
+            rb = params[f"resblocks_{stage * 3 + j}"]
+            xc = x
+            for i, d in enumerate(dils):
+                xt = jax.nn.leaky_relu(xc, LRELU_SLOPE)
+                xt = jax.lax.conv_general_dilated(
+                    xt, rb[f"convs1_{i}"]["kernel"], (1,),
+                    [((k * d - d) // 2,) * 2], rhs_dilation=(d,),
+                    dimension_numbers=("NHC", "HIO", "NHC")
+                ) + rb[f"convs1_{i}"]["bias"]
+                xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                xt = jax.lax.conv_general_dilated(
+                    xt, rb[f"convs2_{i}"]["kernel"], (1,),
+                    [((k - 1) // 2,) * 2],
+                    dimension_numbers=("NHC", "HIO", "NHC")
+                ) + rb[f"convs2_{i}"]["bias"]
+                xc = xc + xt
+            xs = xc if xs is None else xs + xc
+        return xs / 3
+
+    import time as _t
+
+    def bench(name, fn, *args):
+        jfn = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+        t0 = _t.perf_counter()
+        float(jfn(*args))
+        comp = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        for _ in range(REPS_):
+            out = jfn(*args)
+        float(out)
+        dt = (_t.perf_counter() - t0) / REPS_
+        print(f"[{name}] {dt * 1e3:8.2f} ms (compile {comp:.0f}s)", flush=True)
+        return dt
+
+    for stage, c, t in ((2, 64, 131072), (3, 32, 262144)):
+        p = 128 // c
+        params = mk_params(stage, c)
+        x = jnp.asarray(rng.randn(B, t, c).astype(np.float32) * 0.1)
+        xp = x.reshape(B, t // p, p * c)
+        for dt_name, cast in (("bf16", lambda a: a.astype(jnp.bfloat16)),
+                              ("f32", lambda a: a)):
+            d_x = bench(f"stage{stage} C={c} {dt_name} XLA   ",
+                        lambda pr, xx: xla_stack(
+                            jax.tree_util.tree_map(cast, pr), stage, c,
+                            cast(xx)), params, x)
+            d_p = bench(f"stage{stage} C={c} {dt_name} packed",
+                        lambda pr, xx: packed_resblock_stage(
+                            cast(xx), pr, stage, nb=3, ch=c, p=p, theta=0,
+                            t=t, kernel_sizes=KS, dilation_sets=DS,
+                            cast=cast), params, xp)
+            print(f"  -> packed speedup {d_x / d_p:.2f}x", flush=True)
+
+
+if __name__ == "__main__" and "packedcmp" in sys.argv:
+    packedcmp()
+    sys.exit(0)
