@@ -100,17 +100,22 @@ THRESHOLDS = {
     # inherits the sampler's default-precision mel drift (rms ~0.012 on
     # [-6,1.5]) through a tanh vocoder, so default-mode bounds are
     # correlation-led; the HIGHEST entry is the structural control.
-    # observed r4: rms 2.6e-3 / corr 0.99966 (f32), 1.3e-5 / 1-1e-8
-    # (highest), 5.9e-3 / 0.9982 (bf16+pallas+packed)
-    "fused_e2e_f32": {"rms_err": 2e-2, "corr": 0.995},
-    "fused_e2e_f32_highest": {"max_abs_err": 5e-3, "rms_err": 5e-4,
-                              "corr": 0.9999},
-    "fused_e2e_production": {"rms_err": 5e-2, "corr": 0.99},
+    # observed r4 on a [-0.030, 0.034] waveform: f32 rms 1.15e-4 /
+    # corr 0.99994; HIGHEST rms 1.03e-4 / max 8.7e-4 (nearly identical to
+    # default — the deviation is the reverse scan's transcendental drift, not
+    # matmul precision, matching the sampler entries); production
+    # (bf16 + Pallas denoiser + packed vocoder) rms 1.26e-4 / corr 0.99993.
+    # Bounds are those observations with ~5-8x margin.
+    "fused_e2e_f32": {"rms_err": 1e-3, "corr": 0.9995},
+    "fused_e2e_f32_highest": {"max_abs_err": 5e-3, "rms_err": 8e-4,
+                              "corr": 0.9995},
+    "fused_e2e_production": {"rms_err": 1e-3, "corr": 0.9995},
     # exact vs framewise NSF phase path measured ON CHIP (default 'exact' is
     # the reference bit path; production opts into 'framewise') — both run on
     # chip f32, same noise draws, so this isolates the approximation itself
-    # (off-chip observed ~1e-4; bound leaves room for f32 phase-sum drift)
-    "fused_nsf_exact_vs_framewise": {"rms_err": 1e-2, "corr": 0.995},
+    # (observed on chip r4: rms 1.9e-5, max 2.3e-4, corr 0.999998)
+    "fused_nsf_exact_vs_framewise": {"max_abs_err": 2e-3, "rms_err": 2e-4,
+                                     "corr": 0.9999},
 }
 
 
