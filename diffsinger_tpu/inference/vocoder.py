@@ -147,10 +147,12 @@ class HifiGAN(BaseVocoder):
 
             cfg = self.cfg
             max_ch = int(self.hp.get("vocoder_packed_max_channels", 64))
+            fuse = bool(self.hp.get("vocoder_packed_fuse", False))
 
             def fn(params, mel, f0=None, rng=None):
                 return hifigan_packed_apply(params, cfg, mel, f0, rng,
-                                            max_packed_channels=max_ch)
+                                            max_packed_channels=max_ch,
+                                            fuse_stages=fuse)
 
             return fn
         from diffsinger_tpu.ops.hifigan_fast import hifigan_fast_apply

@@ -235,7 +235,8 @@ def _pack_plain(x, p: int, theta: int):
 def hifigan_packed_apply(params: dict, cfg, mel: jnp.ndarray,
                          f0: Optional[jnp.ndarray] = None,
                          rng: Optional[jax.Array] = None,
-                         max_packed_channels: int = 64) -> jnp.ndarray:
+                         max_packed_channels: int = 64,
+                         fuse_stages: bool = False) -> jnp.ndarray:
     """HiFiGAN forward with time-folded small-channel scales
     (``vocoder_backend: 'packed'``). Numerically equivalent to
     ``HifiGanGenerator.apply`` on the same params (same MACs, reordered);
@@ -370,6 +371,16 @@ def hifigan_packed_apply(params: dict, cfg, mel: jnp.ndarray,
 
         if p_cur == 1:
             x = xla_mrf(x, i, ch)
+        elif fuse_stages:
+            # Pallas VMEM-fused folded stack: ~1 HBM read + 1 write for the
+            # whole 18-conv scale instead of ~27 passes (hifigan_packed_mrf)
+            from diffsinger_tpu.ops.hifigan_packed_mrf import \
+                fused_packed_stage
+
+            x = fused_packed_stage(
+                x.astype(jnp.float32), params, i, nb=nb, ch=ch, p=p_cur,
+                theta=theta, t=t_cur, kernel_sizes=ks, dilation_sets=ds,
+                compute_dtype=dt)
         else:
             x = packed_resblock_stage(
                 x, params, i, nb=nb, ch=ch, p=p_cur, theta=theta, t=t_cur,

@@ -148,3 +148,66 @@ def test_packed_apply_bf16_smoke(rng):
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=5e-2)
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+
+
+def _stage_params(rng, stage, c, ks, ns=3):
+    out = {}
+    for j, k in enumerate(ks):
+        rb = {}
+        for i in range(ns):
+            for nm in ("convs1", "convs2"):
+                rb[f"{nm}_{i}"] = {
+                    "kernel": jnp.asarray(
+                        rng.randn(k, c, c).astype(np.float32) * 0.05),
+                    "bias": jnp.asarray(
+                        rng.randn(c).astype(np.float32) * 0.02)}
+        out[f"resblocks_{stage * len(ks) + j}"] = rb
+    return out
+
+
+@pytest.mark.parametrize("c,p,theta,t", [(32, 4, 1, 88), (64, 2, 0, 47)])
+def test_fused_packed_stage_matches_xla(rng, c, p, theta, t):
+    """The Pallas VMEM-fused folded MRF scale (ops/hifigan_packed_mrf.py)
+    must equal the XLA folded stack bit-for-bit-ish (same matmuls, f32
+    accumulation; interpret mode on CPU), including sequence-edge masking at
+    a T that is not a multiple of the packing and a nonzero theta."""
+    from diffsinger_tpu.ops.hifigan_packed import packed_resblock_stage
+    from diffsinger_tpu.ops.hifigan_packed_mrf import fused_packed_stage
+
+    ks, ds = (3, 7, 11), ((1, 3, 5),) * 3
+    params = _stage_params(rng, 2, c, ks)
+    r = -(-(t + theta) // p)
+    x = np.zeros((2, r * p, c), np.float32)
+    x[:, theta:theta + t] = rng.randn(2, t, c).astype(np.float32) * 0.3
+    xp = jnp.asarray(x.reshape(2, r, p * c))
+
+    want = packed_resblock_stage(xp, params, 2, nb=3, ch=c, p=p, theta=theta,
+                                 t=t, kernel_sizes=ks, dilation_sets=ds,
+                                 cast=lambda a: a)
+    got = fused_packed_stage(xp, params, 2, nb=3, ch=c, p=p, theta=theta,
+                             t=t, kernel_sizes=ks, dilation_sets=ds,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_packed_stage_tiled(rng):
+    """Row tiling with halos: forcing a small r_tile must not change results
+    (interior reads come from real neighbor rows, not zero fill)."""
+    from diffsinger_tpu.ops.hifigan_packed import packed_resblock_stage
+    from diffsinger_tpu.ops.hifigan_packed_mrf import (_fused_call,
+                                                       pack_stage_weights)
+
+    ks, ds = (3, 7), ((1, 3, 5),) * 2
+    c, p, theta, t = 32, 4, 2, 256
+    params = _stage_params(rng, 0, c, ks)
+    r = -(-(t + theta) // p)
+    x = np.zeros((1, r * p, c), np.float32)
+    x[:, theta:theta + t] = rng.randn(1, t, c).astype(np.float32) * 0.3
+    xp = jnp.asarray(x.reshape(1, r, p * c))
+    want = packed_resblock_stage(xp, params, 0, nb=2, ch=c, p=p, theta=theta,
+                                 t=t, kernel_sizes=ks, dilation_sets=ds,
+                                 cast=lambda a: a)
+    w, b, _ = pack_stage_weights(params, 0, ks, ds, c, p, theta)
+    got = _fused_call(xp, w, b, kernel_sizes=ks, dilation_sets=ds, p=p,
+                      theta=theta, t_total=t, ch=c, r_tile=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

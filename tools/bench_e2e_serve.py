@@ -79,9 +79,11 @@ def main():
                                 jnp.min(mel))
                 if backend == "packed" or (backend == "auto" and b >= 1):
                     # r4: time-folded small-channel scales (measured winner at
-                    # both batch points — see BENCH.md vocoder table)
+                    # both batch points — see BENCH.md vocoder table);
+                    # 'fuse' adds the Pallas VMEM-fused folded scales
                     return hifigan_packed_apply(vp, vcfg, mel,
-                                                out["f0_denorm"], k2)
+                                                out["f0_denorm"], k2,
+                                                fuse_stages="fuse" in sys.argv)
                 if backend == "mrf" or (backend == "auto" and b == 1):
                     return hifigan_mrf_apply(vp, vcfg, mel, out["f0_denorm"],
                                              k2)

@@ -58,6 +58,11 @@ def main():
         ("packed32", "bf16"): jax.jit(
             lambda p, m: hifigan_packed_apply(p, cfg16, m,
                                               max_packed_channels=32)),
+        # r4b: packed + Pallas VMEM-fused scale (1 HBM pass per stage)
+        ("packedf", "f32"): jax.jit(
+            lambda p, m: hifigan_packed_apply(p, cfg, m, fuse_stages=True)),
+        ("packedf", "bf16"): jax.jit(
+            lambda p, m: hifigan_packed_apply(p, cfg16, m, fuse_stages=True)),
     }
     if "fast" in sys.argv:  # round-2 negative result, re-measure on demand
         fns[("fast", "f32")] = jax.jit(lambda p, m: hifigan_fast_apply(p, cfg, m))

@@ -124,6 +124,7 @@ def packedcmp():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from diffsinger_tpu.ops.hifigan_packed import (LRELU_SLOPE,
                                                    packed_resblock_stage)
+    from diffsinger_tpu.ops.hifigan_packed_mrf import fused_packed_stage
 
     KS, DS = (3, 7, 11), ((1, 3, 5),) * 3
     B, REPS_ = 8, 10
@@ -197,6 +198,14 @@ def packedcmp():
                             t=t, kernel_sizes=KS, dilation_sets=DS,
                             cast=cast), params, xp)
             print(f"  -> packed speedup {d_x / d_p:.2f}x", flush=True)
+            d_f = bench(f"stage{stage} C={c} {dt_name} fusedP",
+                        lambda pr, xx: fused_packed_stage(
+                            cast(xx).astype(jnp.float32) if dt_name == "f32"
+                            else xx, pr, stage, nb=3, ch=c, p=p, theta=0,
+                            t=t, kernel_sizes=KS, dilation_sets=DS,
+                            compute_dtype=(jnp.bfloat16 if dt_name == "bf16"
+                                           else None)), params, xp)
+            print(f"  -> fused speedup vs XLA {d_x / d_f:.2f}x", flush=True)
 
 
 if __name__ == "__main__" and "packedcmp" in sys.argv:
