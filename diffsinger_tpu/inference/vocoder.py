@@ -213,7 +213,6 @@ class HifiGAN(BaseVocoder):
         return [wav[i, : int(n) * hop] for i, n in enumerate(lengths)]
 
 
-@register_vocoder
 def _load_pwg_stats(base_dir: str, fmt: str):
     """Official-checkpoint mel standardization stats -> (mean, scale) arrays.
 
@@ -249,6 +248,7 @@ def _load_pwg_stats(base_dir: str, fmt: str):
     return mean, scale
 
 
+@register_vocoder
 class PWG(BaseVocoder):
     """ParallelWaveGAN wrapper (reference vocoders/pwg.py:54-122): loads the
     generator from vocoder_ckpt (torch or official .pkl layout), edge-pads the

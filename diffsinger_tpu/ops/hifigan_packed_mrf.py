@@ -75,12 +75,11 @@ def pack_stage_weights(params: dict, stage_idx: int,
                        kernel_sizes: Tuple[int, ...],
                        dilation_sets: Tuple[Tuple[int, ...], ...],
                        ch: int, p: int, theta: int):
-    """Assemble every branch's folded tap mats into uniform arrays:
-    w [nb, TT_max, p*ch, p*ch] (zero-padded over taps), b [nb, 6, 1, p*ch]."""
+    """Assemble per-branch folded tap mats: returns (w_list, b_list, plans)
+    with w_list[b] [TT_b, p*ch, p*ch] (all taps of the branch's 6 convs
+    concatenated in execution order) and b_list[b] [6, 1, p*ch]."""
     nb = len(kernel_sizes)
     plans, _ = build_stage_plan(kernel_sizes, dilation_sets, p, theta)
-    tt_max = max(sum(n for _, n, _ in convs) for convs in plans)
-    pc = p * ch
     w_all, b_all = [], []
     for bj, (k, dils) in enumerate(zip(kernel_sizes, dilation_sets)):
         rb = params[f"resblocks_{stage_idx * nb + bj}"]
@@ -96,113 +95,113 @@ def pack_stage_weights(params: dict, stage_idx: int,
                                            for j in range(k)], ch, ch, p, p)
                 mats.append(wp)  # [n, pc, pc]
                 biases.append(jnp.tile(rb[f"{nm}_{i}"]["bias"], p)[None])
-        w = jnp.concatenate(mats, axis=0)
-        if w.shape[0] < tt_max:
-            w = jnp.pad(w, ((0, tt_max - w.shape[0]), (0, 0), (0, 0)))
-        w_all.append(w)
+        w_all.append(jnp.concatenate(mats, axis=0))
         b_all.append(jnp.stack(biases))
-    return jnp.stack(w_all), jnp.stack(b_all), plans
+    return w_all, b_all, plans
 
 
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
-def _make_kernel(plans, p: int, ch: int, halo: int, r_tile: int, n_tiles: int,
-                 t_total: int, num_branches: int, compute_dtype):
+def _make_branch_kernel(convs, p: int, ch: int, halo: int, r_tile: int,
+                        n_tiles: int, t_total: int, compute_dtype):
+    """ONE branch's residual chain per tile. (An all-branches-in-one kernel
+    with a ``lax.switch`` over the three chain structures compiled fine with
+    any TWO branches but SIGSEGV'd the Mosaic compiler with all three —
+    program size. One pallas_call per branch costs ~2 extra HBM passes for
+    the tile build + XLA branch-sum, still ~2x less traffic than the
+    per-conv XLA path, and each single-branch program compiles reliably.)"""
     dt = compute_dtype
     pc = p * ch
 
-    def kernel(x_ref, w_ref, b_ref, out_ref, acc_scr):
-        j = pl.program_id(1)
+    def kernel(x_ref, w_ref, b_ref, out_ref, xc_scr, y_scr):
+        # Static shrinking-region schedule: conv q's output is only valid on
+        # rows whose whole tap window lies in the previous region; regions
+        # start at the full haloed tile and shrink to exactly [halo,
+        # halo+r_tile) by chain end (build_stage_plan's halo is the chain
+        # reach). Matmul operands stream DIRECTLY from ref slices — the first
+        # version materialized a shifted copy per tap, which dominated the
+        # kernel (measured f32 == bf16 at ~2x the MXU roofline).
         ti = pl.program_id(0) % n_tiles
         row0 = ti * r_tile - halo  # global row index of tile row 0
+        r_h = r_tile + 2 * halo
 
-        x = x_ref[0]  # [r_h, pc] (f32 or compute dtype)
-        r_h = x.shape[0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (r_h, pc), 0) + row0
-        # lane -> frame sub-offset within the row's p-frame block
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (r_h, pc), 1) // ch
-
-        def valid(theta_o):
+        def valid(theta_o, a, b):
+            rows = jax.lax.broadcasted_iota(jnp.int32, (b - a, pc), 0) \
+                + (row0 + a)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (b - a, pc), 1) // ch
             f = rows * p + lanes - theta_o
             return jnp.logical_and(f >= 0, f < t_total)
 
-        @pl.when(j == 0)
-        def _():
-            acc_scr[:] = jnp.zeros_like(acc_scr)
+        xc_scr[:] = x_ref[0].astype(jnp.float32)
 
-        def branch(bj):
-            convs = plans[bj]
-            tap_base = 0
-            xc = x.astype(jnp.float32)
-            for s in range(len(convs) // 2):
-                lo1, n1, phi = convs[2 * s]
-                lo2, n2, th = convs[2 * s + 1]
-                xt = jnp.where(xc >= 0, xc, LRELU_SLOPE * xc)
-                xt = _conv(xt, tap_base, lo1, n1, 2 * s)
-                tap_base += n1
-                xt = jnp.where(valid(phi), xt, 0.0)
-                xt = jnp.where(xt >= 0, xt, LRELU_SLOPE * xt)
-                xt = _conv(xt, tap_base, lo2, n2, 2 * s + 1)
-                tap_base += n2
-                xt = jnp.where(valid(th), xt, 0.0)
-                xc = xc + xt
-            return xc
-
-        def _conv(y, tap_base, lo, n, conv_idx):
-            if dt is not None:
-                y = y.astype(dt)
+        def _conv(tap_base, lo, n, conv_idx, a_in, b_in):
+            # output region: all taps r+delta (delta in [lo, lo+n)) must fall
+            # inside the input region [a_in, b_in)
+            a = a_in - lo
+            b = b_in - (lo + n - 1)
             out = None
             for s in range(n):
                 delta = lo + s
-                # static row shift with zero fill at tile edges: the halo
-                # covers the whole chain reach, so interior outputs only ever
-                # read real neighbor rows; zero fill touches halo rows whose
-                # results are discarded at write-out
-                if delta == 0:
-                    tap = y
-                elif delta > 0:
-                    tap = jnp.pad(y[delta:], ((0, delta), (0, 0)))
-                else:
-                    tap = jnp.pad(y[:r_h + delta], ((-delta, 0), (0, 0)))
+                tap = y_scr[a + delta: b + delta]
                 w = w_ref[0, tap_base + s]
                 if dt is not None:
                     w = w.astype(dt)
                 part = jnp.dot(tap, w, preferred_element_type=jnp.float32)
                 out = part if out is None else out + part
-            return out + b_ref[0, conv_idx]
+            return out + b_ref[0, conv_idx], a, b
 
-        acc_scr[:] += jax.lax.switch(
-            j, [functools.partial(branch, bj) for bj in range(num_branches)])
+        a0, b0 = 0, r_h
+        for s in range(len(convs) // 2):
+            lo1, n1, phi = convs[2 * s]
+            lo2, n2, th = convs[2 * s + 1]
+            xc = xc_scr[a0:b0]
+            y = jnp.where(xc >= 0, xc, LRELU_SLOPE * xc)
+            y_scr[a0:b0] = y.astype(y_scr.dtype)
+            xt, a1, b1 = _conv(tap_base_at(s, 0), lo1, n1, 2 * s, a0, b0)
+            xt = jnp.where(valid(phi, a1, b1), xt, 0.0)
+            xt = jnp.where(xt >= 0, xt, LRELU_SLOPE * xt)
+            y_scr[a1:b1] = xt.astype(y_scr.dtype)
+            xt, a2, b2 = _conv(tap_base_at(s, 1), lo2, n2, 2 * s + 1, a1, b1)
+            xt = jnp.where(valid(th, a2, b2), xt, 0.0)
+            xc_scr[a2:b2] = xc_scr[a2:b2] + xt
+            a0, b0 = a2, b2
+        # chain reach <= halo, so [halo, halo+r_tile) survived every shrink
+        out_ref[0] = xc_scr[halo: halo + r_tile]
 
-        @pl.when(j == num_branches - 1)
-        def _():
-            out_ref[0] = acc_scr[halo: halo + r_tile] * (1.0 / num_branches)
+    def tap_base_at(stage, which):
+        base = 0
+        for q in range(2 * stage + which):
+            base += convs[q][1]
+        return base
 
     return kernel
 
 
-def _auto_r_tile(r: int, pc: int) -> int:
-    """Tile rows so the f32 tile + scratch stay a few MB."""
-    budget = 2 * 2 ** 20
+def _auto_r_tile(r: int, pc: int, dtype_bytes: int = 2) -> int:
+    """Tile rows so tile + acc scratch + conv temporaries + the widest
+    branch's tap mats (66 x 64 KB bf16 at C=64/p=2) stay under the 16 MB
+    scoped-VMEM budget (4096-row tiles measured 64 KB over it)."""
+    budget = 2 ** 20 if dtype_bytes <= 2 else 2 ** 19  # f32 doubles scratches
     rt = budget // (pc * 4)
-    rt = max(256, min(4096, 1 << int(np.floor(np.log2(max(rt, 256))))))
-    while r % rt and rt > 8:
-        rt //= 2
-    return rt
+    # no divisibility requirement: _fused_call pads the row tail (a non-
+    # multiple r would otherwise collapse rt to tiny tiles and explode the
+    # tile-build slice count — measured as a Mosaic/XLA compile SIGSEGV)
+    return max(256, min(2048, 1 << int(np.floor(np.log2(max(rt, 256))))))
 
 
 @functools.partial(jax.jit, static_argnames=(
     "kernel_sizes", "dilation_sets", "p", "theta", "t_total", "ch",
     "r_tile", "interpret", "compute_dtype"))
-def _fused_call(xp, w, b, *, kernel_sizes, dilation_sets, p, theta, t_total,
-                ch, r_tile=0, interpret=None, compute_dtype=None):
+def _fused_call(xp, w_list, b_list, *, kernel_sizes, dilation_sets, p, theta,
+                t_total, ch, r_tile=0, interpret=None, compute_dtype=None):
     bsz, r, pc = xp.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     plans, halo = build_stage_plan(kernel_sizes, dilation_sets, p, theta)
     halo = -(-halo // 8) * 8
-    rt = r_tile or _auto_r_tile(r, pc)
+    rt = r_tile or _auto_r_tile(r, pc,
+                                2 if compute_dtype is not None else 4)
     rt = min(rt, r)
     if r % rt:  # pad rows; appended rows hold out-of-range frames (masked)
         pad_r = -(-r // rt) * rt - r
@@ -217,31 +216,37 @@ def _fused_call(xp, w, b, *, kernel_sizes, dilation_sets, p, theta, t_total,
     x_big = jnp.pad(xp, ((0, 0), (halo, halo), (0, 0)))
     if cdt is not None:
         x_big = x_big.astype(cdt)
-        w = w.astype(cdt)
     tiles = jnp.stack([x_big[:, s: s + r_h] for s in range(0, r_pad, rt)],
                       axis=1).reshape(bsz * n_tiles, r_h, pc)
 
-    nb = len(kernel_sizes)
-    tt = w.shape[1]
-    kernel = _make_kernel(plans, p, ch, halo, rt, n_tiles, t_total, nb, cdt)
-    out = pl.pallas_call(
-        kernel,
-        grid=(bsz * n_tiles, nb),
-        in_specs=[
-            pl.BlockSpec((1, r_h, pc), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, tt, pc, pc), lambda i, j: (j, 0, 0, 0)),
-            pl.BlockSpec((1, 2 * len(dilation_sets[0]), 1, pc),
-                         lambda i, j: (j, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, rt, pc), lambda i, j: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz * n_tiles, rt, pc), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((r_h, pc), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(tiles, w, b)
-    out = out.reshape(bsz, r_pad, pc)
-    return out[:, :r] if pad_r else out
+    acc = None
+    for convs, w, b in zip(plans, w_list, b_list):
+        if cdt is not None:
+            w = w.astype(cdt)
+        tt = w.shape[0]
+        kernel = _make_branch_kernel(convs, p, ch, halo, rt, n_tiles,
+                                     t_total, cdt)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bsz * n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, r_h, pc), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, tt, pc, pc), lambda i: (0, 0, 0, 0)),
+                pl.BlockSpec((1, len(convs), 1, pc),
+                             lambda i: (0, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, rt, pc), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((bsz * n_tiles, rt, pc),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((r_h, pc), jnp.float32),
+                            pltpu.VMEM((r_h, pc), cdt or jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(tiles, w[None], b[None])
+        acc = out if acc is None else acc + out
+    acc = (acc / len(plans)).reshape(bsz, r_pad, pc)
+    return acc[:, :r] if pad_r else acc
 
 
 def fused_packed_stage(xp: jnp.ndarray, params: dict, stage_idx: int, *,

@@ -171,7 +171,11 @@ def packedcmp():
     def bench(name, fn, *args):
         jfn = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
         t0 = _t.perf_counter()
-        float(jfn(*args))
+        try:
+            float(jfn(*args))
+        except Exception as e:
+            print(f"[{name}] FAILED: {e}"[:240], flush=True)
+            return float("nan")
         comp = _t.perf_counter() - t0
         t0 = _t.perf_counter()
         for _ in range(REPS_):
