@@ -27,7 +27,7 @@ accumulation; interpret-mode equality tested).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
