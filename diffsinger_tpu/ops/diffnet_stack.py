@@ -107,13 +107,15 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
                   cond_proj: jnp.ndarray, w_dil: jnp.ndarray,
                   b_dil: jnp.ndarray, w_out: jnp.ndarray, b_out: jnp.ndarray,
                   *, dilations: tuple, batch_tile: int = 1,
-                  interpret: bool = False, compute_dtype=None) -> jnp.ndarray:
+                  interpret=None, compute_dtype=None) -> jnp.ndarray:
     """Run the fused residual stack.
 
     x0 [B, T, C] (input-projected + relu'd spec); step_proj [L, B, C];
     cond_proj [L, B, T, 2C]; w_dil [L, 3, C, 2C]; b_dil [L, 2C];
     w_out [L, C, 2C]; b_out [L, 2C]. Returns skip sum [B, T, C] (pre 1/sqrt(L)).
     """
+    if interpret is None:  # resolved at trace time: Mosaic needs a real TPU
+        interpret = jax.default_backend() != "tpu"
     bsz, t, c = x0.shape
     num_layers = w_dil.shape[0]
     assert len(dilations) == num_layers
@@ -198,7 +200,7 @@ def _packed_step_proj(params: dict, step: jnp.ndarray, num_layers: int,
 
 def diffnet_forward_pallas(params: dict, spec: jnp.ndarray, t: jnp.ndarray,
                            cond_proj, *, dilations: tuple,
-                           batch_tile: int = 1, interpret: bool = False,
+                           batch_tile: int = 1, interpret=None,
                            compute_dtype=None) -> jnp.ndarray:
     """Full DiffNet forward with the fused Pallas stack.
 

@@ -142,3 +142,47 @@ def test_pipeline_builds_and_steps(rel, data_dirs, tmp_path):
     ret = task.inference(trainer.params, batch, jax.random.PRNGKey(1))
     key = "mel_out" if "mel_out" in ret else "pitch_pred"
     assert np.isfinite(np.asarray(ret[key])).all(), rel
+
+
+def test_production_overlay_trains_and_infers(data_dirs, tmp_path):
+    """The README-documented production stack — pipeline + tpu_production
+    overlay — must build, take an optimizer step, and synthesize (on CPU the
+    Pallas paths run in interpret mode; bf16 params/compute compile fine).
+    Catches overlay-key interactions the resolution test can't (e.g. a knob
+    renamed in code but not in the overlay)."""
+    import tempfile
+
+    import yaml
+
+    from diffsinger_tpu.cli import _build, _dataset_cls
+    from diffsinger_tpu.parallel.mesh import make_mesh
+    from diffsinger_tpu.training.trainer import Trainer
+
+    # stack the overlay exactly as the README prescribes: via base_config
+    stacked = tmp_path / "prod_stack.yaml"
+    with open(stacked, "w") as f:
+        yaml.safe_dump({"base_config": [
+            os.path.join(REPO, "configs/lj/ds_beta6.yaml"),
+            os.path.join(REPO, "configs/tpu_production.yaml")]}, f)
+    hp = set_hparams(config=str(stacked), hparams_str=SHRINK,
+                     global_hparams=False)
+    assert hp["compute_dtype"] == "bfloat16"
+    assert hp["vocoder_backend"] == "packed"
+    assert hp["use_pallas_diffnet"] is True
+    hp["binary_data_dir"] = data_dirs["plain"]
+    hp["work_dir"] = str(tmp_path / "exp")
+    hp["fs2_ckpt"] = ""
+    hp["num_sanity_val_steps"] = 0
+    hp["train_steps_per_call"] = 2  # scan path at CI size
+
+    encoder, task = _build(hp)
+    ds = _dataset_cls(hp)(hp, "train")
+    batch = next(ds.iter_batches())
+    trainer = Trainer(hp, task, mesh=make_mesh())
+    trainer.initialize(batch)
+    dev_batch = trainer.prepare_batch(batch)  # pad + shard over the data mesh
+    out = trainer.train_step_many([dev_batch, dev_batch],
+                                  jax.random.PRNGKey(0))
+    assert np.isfinite(float(out["total_loss"]))
+    ret = task.inference(trainer.params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(ret["mel_out"])).all()
