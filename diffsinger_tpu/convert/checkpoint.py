@@ -30,11 +30,17 @@ def find_latest_ckpt(path: str) -> Optional[str]:
     return max(cands, key=lambda p: int(re.findall(r"steps_(\d+)\.ckpt", p)[0]))
 
 
-def load_torch_state_dict(ckpt_path: str, prefix: str = "model.") -> Dict[str, np.ndarray]:
-    """torch.load -> numpy dict, sliced to keys under ``prefix``."""
-    import torch
+def load_torch_state_dict(ckpt_path, prefix: str = "model.") -> Dict[str, np.ndarray]:
+    """torch.load -> numpy dict, sliced to keys under ``prefix``.
 
-    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    ``ckpt_path`` may also be an already-torch.load'ed checkpoint dict, so
+    callers that inspect the raw checkpoint first don't pay a second load."""
+    if isinstance(ckpt_path, dict):
+        ckpt = ckpt_path
+    else:
+        import torch
+
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]

@@ -291,7 +291,7 @@ class PWG(BaseVocoder):
             if "state_dict" not in raw:
                 self.scaler = _load_pwg_stats(
                     base_dir, str(cfg_dict.get("format", "hdf5")))
-            sd = load_torch_state_dict(ckpt, prefix="")
+            sd = load_torch_state_dict(raw, prefix="")  # reuse the single load
             for key in ("model_gen", "generator", "model"):
                 inner = {k[len(key) + 1:]: v for k, v in sd.items()
                          if k.startswith(key + ".")}

@@ -108,7 +108,11 @@ class SVSWebApp:
                 if self.path != "/api/synthesize":
                     self._send(404, "text/plain", b"not found")
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._send(400, "text/plain", b"bad Content-Length")
+                    return
                 if n > MAX_REQUEST_BYTES:  # lyric/MIDI payloads are tiny
                     self._send(413, "text/plain", b"request body too large")
                     return

@@ -114,7 +114,11 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
     cond_proj [L, B, T, 2C]; w_dil [L, 3, C, 2C]; b_dil [L, 2C];
     w_out [L, C, 2C]; b_out [L, 2C]. Returns skip sum [B, T, C] (pre 1/sqrt(L)).
     """
-    if interpret is None:  # resolved at trace time: Mosaic needs a real TPU
+    if interpret is None:  # resolved at trace time: Mosaic needs a real TPU.
+        # Limitation: this reads the DEFAULT backend, not the device the
+        # computation is actually placed on — an explicit CPU jit while a TPU
+        # is the default backend would pick compiled mode and fail in Mosaic.
+        # Pass interpret= explicitly for non-default placements.
         interpret = jax.default_backend() != "tpu"
     bsz, t, c = x0.shape
     num_layers = w_dil.shape[0]

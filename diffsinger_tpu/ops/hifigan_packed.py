@@ -347,7 +347,6 @@ def hifigan_packed_apply(params: dict, cfg, mel: jnp.ndarray,
             nc = params[f"noise_convs_{i}"]
             if i + 1 < len(c.upsample_rates):
                 s_f0 = int(np.prod(c.upsample_rates[i + 1:]))
-                k_nc = nc["kernel"].shape[0]
                 if p_cur == 1:
                     src = conv_std(har, nc, stride=s_f0,
                                    padding=(s_f0 // 2, s_f0 // 2))

@@ -197,6 +197,8 @@ def _fused_call(xp, w_list, b_list, *, kernel_sizes, dilation_sets, p, theta,
                 t_total, ch, r_tile=0, interpret=None, compute_dtype=None):
     bsz, r, pc = xp.shape
     if interpret is None:
+        # Trace-time heuristic; reads the DEFAULT backend, not the actual
+        # placement — see the matching note in diffnet_stack.diffnet_stack.
         interpret = jax.default_backend() != "tpu"
     plans, halo = build_stage_plan(kernel_sizes, dilation_sets, p, theta)
     halo = -(-halo // 8) * 8
