@@ -65,4 +65,9 @@ def build_pinyin2ph_map() -> Dict[str, str]:
                     syl = sm + "u" + ym[1:]
             syllables.add(syl)
     syllables.update(["m", "n", "ng", "er", "hm"])
-    return {s: " ".join(split_pinyin(s)) for s in sorted(syllables)}
+    out = {s: " ".join(split_pinyin(s)) for s in sorted(syllables)}
+    # breath/silence pseudo-syllables, seeded exactly like the reference map
+    # (inference/svs/opencpop/map.py:3) so word-level input with AP/SP marks
+    # ('你 说 你 不 SP 懂 ... AP') keeps its note alignment
+    out.update({"AP": "AP", "SP": "SP"})
+    return out

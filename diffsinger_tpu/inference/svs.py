@@ -105,16 +105,21 @@ class BaseSVSInfer:
 
     # ------------------------------------------------------------- frontend
     def preprocess_word_level_input(self, inp: Dict[str, str]):
-        try:
-            from pypinyin import lazy_pinyin
-        except ImportError as e:
-            raise ImportError(
-                "word-level SVS input needs pypinyin (absent in this image); "
-                "use input_type='phoneme' instead") from e
         text_raw = inp["text"]
         for a, b in _POLYPHONE_FIXES:
             text_raw = text_raw.replace(a, b)
-        pinyins = lazy_pinyin(text_raw, strict=False)
+        try:
+            from pypinyin import lazy_pinyin
+
+            pinyins = lazy_pinyin(text_raw, strict=False)
+        except ImportError:
+            # zero-egress images can't install pypinyin; the embedded table
+            # covers the demo corpus + common lyric vocabulary and raises a
+            # clear error naming any uncovered character
+            from diffsinger_tpu.data.text.hanzi_pinyin import \
+                lazy_pinyin_fallback
+
+            pinyins = lazy_pinyin_fallback(text_raw)
         ph_per_word = [self.pinyin2phs[p.strip()] for p in pinyins
                        if p.strip() in self.pinyin2phs]
         note_per_word = [x.strip() for x in inp["notes"].split("|") if x.strip()]
