@@ -84,6 +84,22 @@ class HifiGAN(BaseVocoder):
 
             with open(config_path) as f:
                 gen_hp.update(yaml.safe_load(f) or {})
+        elif base_dir and ckpt is None and os.path.exists(
+                os.path.join(base_dir, "config.json")):
+            # official hifi-gan release layout: config.json + generator_v1
+            # with the weights under 'generator' (reference
+            # vocoders/hifigan.py:49-52,23-24)
+            import json
+
+            with open(os.path.join(base_dir, "config.json")) as f:
+                cfg_json = json.load(f)
+            if "sampling_rate" in cfg_json:  # official key name
+                cfg_json.setdefault("audio_sample_rate",
+                                    cfg_json["sampling_rate"])
+            gen_hp.update(cfg_json)
+            gen_path = os.path.join(base_dir, "generator_v1")
+            if os.path.exists(gen_path):
+                ckpt = gen_path
         # NSF is keyed off use_nsf -> generator use_pitch_embed
         gen_hp["use_pitch_embed"] = bool(hp.get("use_nsf", False)
                                          or gen_hp.get("use_pitch_embed", False))

@@ -416,11 +416,11 @@ class Trainer:
 
         d = self._ckpt_dir()
         if not os.path.isdir(d):
-            return False
+            return self._restore_torch()
         mgr = self._manager()
         step = mgr.latest_step()
         if step is None:
-            return False
+            return self._restore_torch()
         try:
             restored = mgr.restore(step, args=ocp.args.PyTreeRestore(
                 {"params": self.params, "opt_state": self.opt_state}))
@@ -456,6 +456,50 @@ class Trainer:
         if os.path.exists(best_fn):
             self.best_val_loss = float(np.load(best_fn)[0])
         print(f"| restored checkpoint at step {step}")
+        return True
+
+    def _restore_torch(self) -> bool:
+        """Load a RELEASED reference checkpoint (``model_ckpt_steps_*.ckpt``
+        torch file in work_dir) directly: the 'model.'-prefixed state dict is
+        sliced and converted to this framework's param trees, shape-pruned
+        like the reference's non-strict load (utils/__init__.py:178-209).
+        Optimizer moments start fresh. This is what lets a reference user
+        point --exp_name at a released experiment dir and run --infer."""
+        import re
+
+        from diffsinger_tpu.convert.checkpoint import (
+            convert_diffusion_ckpt, convert_fs2, convert_pe, find_latest_ckpt,
+            load_torch_state_dict, merge_params)
+
+        path = find_latest_ckpt(self.work_dir) if self.work_dir else None
+        if path is None or not str(path).endswith(".ckpt"):
+            return False
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        sd = load_torch_state_dict(raw)  # keys under 'model.'
+        if not sd:
+            return False
+        tops = set(self.params)
+        if {"fs2", "denoiser"} <= tops:  # diffusion families (lj_ds_beta6,
+            conv = convert_diffusion_ckpt(sd)  # popcs offline, opencpop ds*)
+        elif "pe" in tops:  # xiaoma_pe
+            conv = {k: v for k, v in convert_pe(sd).items() if k in tops}
+        elif "fs2" in tops:  # fs2_lj
+            conv = {"fs2": convert_fs2(sd)}
+        else:
+            print(f"| torch checkpoint {path} does not map onto param tops "
+                  f"{sorted(tops)}; ignoring")
+            return False
+        self.params = merge_params(self.params, conv)
+        pt, _ = partition_params(self.params, self.mask)
+        self.opt_state = self.tx.init(pt)
+        step = raw.get("global_step")
+        if step is None:
+            step = int(re.findall(r"steps_(\d+)\.ckpt", path)[0])
+        self.global_step = int(step)
+        print(f"| loaded torch checkpoint {path} (step {self.global_step}); "
+              "optimizer moments re-initialized")
         return True
 
     # ------------------------------------------------------------------ logging
