@@ -163,12 +163,20 @@ class HifiGAN(BaseVocoder):
 
             cfg = self.cfg
             max_ch = int(self.hp.get("vocoder_packed_max_channels", 64))
-            fuse = bool(self.hp.get("vocoder_packed_fuse", False))
+            # vocoder_packed_fuse: False | True | 'auto'. The Pallas
+            # whole-scale kernel is the measured B=1 winner (17.5 vs 21.1 ms
+            # f32) but neutral at batch (BENCH.md vocoder table); 'auto'
+            # engages it only for small batches. Batch size is static at
+            # trace time, so this compiles one program per (shape, choice).
+            fuse = self.hp.get("vocoder_packed_fuse", False)
+            fuse_max_b = int(self.hp.get("vocoder_fuse_max_batch", 2))
 
             def fn(params, mel, f0=None, rng=None):
+                fuse_now = fuse is True or (
+                    fuse == "auto" and mel.shape[0] <= fuse_max_b)
                 return hifigan_packed_apply(params, cfg, mel, f0, rng,
                                             max_packed_channels=max_ch,
-                                            fuse_stages=fuse)
+                                            fuse_stages=fuse_now)
 
             return fn
         from diffsinger_tpu.ops.hifigan_fast import hifigan_fast_apply

@@ -211,3 +211,42 @@ def test_fused_packed_stage_tiled(rng):
     got = _fused_call(xp, w, b, kernel_sizes=ks, dilation_sets=ds, p=p,
                       theta=theta, t_total=t, ch=c, r_tile=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_packed_fuse_auto_picks_by_batch_size(rng, monkeypatch):
+    """vocoder_packed_fuse: 'auto' — the Pallas whole-scale kernel engages
+    only at batch <= vocoder_fuse_max_batch (B=1 measured winner, neutral at
+    batch; BENCH.md vocoder table). Trace-time choice, observed by spying on
+    fused_packed_stage."""
+    from diffsinger_tpu.inference.vocoder import HifiGAN
+    from diffsinger_tpu.ops import hifigan_packed_mrf
+
+    calls = []
+    real = hifigan_packed_mrf.fused_packed_stage
+
+    def spy(*a, **kw):
+        calls.append(kw.get("p"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(hifigan_packed_mrf, "fused_packed_stage", spy)
+
+    hp = {"vocoder": "hifigan", "vocoder_ckpt": "", "audio_sample_rate": 22050,
+          "vocoder_backend": "packed", "vocoder_packed_fuse": "auto",
+          "resblock": "1", "upsample_rates": [4, 4, 2],
+          "upsample_kernel_sizes": [8, 8, 4], "upsample_initial_channel": 64,
+          "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+          "hop_size": 32, "audio_num_mel_bins": 80}
+    voc = HifiGAN(hp)
+    mel0 = np.zeros((1, 16, 80), np.float32)
+    voc.params = voc.model.init(jax.random.PRNGKey(0), mel0)["params"]
+
+    mel = rng.randn(1, 16, 80).astype(np.float32) * 0.3 - 2.0
+    out1 = voc.apply_fn(voc.params, jnp.asarray(mel))       # B=1 -> fused
+    assert calls, "auto did not engage the fused kernel at B=1"
+    n_fused_b1 = len(calls)
+    out8 = voc.apply_fn(voc.params, jnp.asarray(
+        np.tile(mel, (8, 1, 1))))                            # B=8 -> XLA path
+    assert len(calls) == n_fused_b1, "auto fused at batch"
+    # both paths agree on the waveform
+    np.testing.assert_allclose(np.asarray(out8[0]), np.asarray(out1[0]),
+                               atol=3e-4)
