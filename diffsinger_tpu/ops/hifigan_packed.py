@@ -94,18 +94,23 @@ def _span(entries) -> Tuple[int, int]:
     return min(deltas), max(deltas)
 
 
-def _assemble(entries, w_taps, c_in: int, c_out: int, p_in: int, p_out: int):
-    """Dense folded kernel [n, p_in*c_in, p_out*c_out] from per-tap [c_in,
-    c_out] blocks (traced jnp — runs per call; a few MB of writes, negligible
-    next to the activations)."""
+def _assemble(entries, w, c_in: int, c_out: int, p_in: int, p_out: int):
+    """Dense folded kernel [n, p_in*c_in, p_out*c_out] from the per-tap
+    [k, c_in, c_out] kernel.
+
+    Built as ONE einsum against a static 0/1 placement tensor. The first
+    version scattered each (tap, lane) block with ``.at[...].add`` — a serial
+    chain of up to ~44 tiny kernels per conv that measured ~2-3 ms of pure
+    launch overhead per folded conv on chip (r5 convscan: every folded conv
+    cost ~3-4 ms against sub-ms rooflines, f32 == bf16 — overhead-bound)."""
     d_min, d_max = _span(entries)
     n = d_max - d_min + 1
-    wp = jnp.zeros((n, p_in * c_in, p_out * c_out), w_taps[0].dtype)
+    k = w.shape[0]
+    place = np.zeros((k, n, p_in, p_out), np.float32)
     for delta, i_i, i_o, j in entries:
-        wp = wp.at[delta - d_min,
-                   i_i * c_in:(i_i + 1) * c_in,
-                   i_o * c_out:(i_o + 1) * c_out].add(w_taps[j])
-    return wp, d_min, d_max
+        place[j, delta - d_min, i_i, i_o] += 1.0
+    wp = jnp.einsum("jio,jnab->naibo", w, jnp.asarray(place, w.dtype))
+    return wp.reshape(n, p_in * c_in, p_out * c_out), d_min, d_max
 
 
 def _folded_conv(xp, wp, bp, d_min, d_max, r_out: int):
@@ -149,8 +154,7 @@ def folded_conv1d(xp, kernel, bias, *, d=1, s=1, pad, p_in, p_out,
     """Standard conv (flax kernel [k, C_in, C_out]) between folded layouts."""
     k, c_in, c_out = kernel.shape
     entries = _conv_entries(k, d, s, pad, p_in, p_out, theta_in, theta_out)
-    wp, d_min, d_max = _assemble(entries, [kernel[j] for j in range(k)],
-                                 c_in, c_out, p_in, p_out)
+    wp, d_min, d_max = _assemble(entries, kernel, c_in, c_out, p_in, p_out)
     bp = jnp.tile(bias, p_out)
     y = _folded_conv(xp, wp, bp, d_min, d_max, _rows(t_out, p_out, theta_out))
     return _mask_edges(y, p_out, theta_out, t_out)
@@ -163,8 +167,7 @@ def folded_conv_transpose1d(xp, kernel, bias, *, u, pad, p_in, p_out,
     std(p=1) -> packed(p=u)."""
     k, c_out, c_in = kernel.shape
     entries = _convt_entries(k, u, pad, p_in, p_out, theta_in, theta_out)
-    wp, d_min, d_max = _assemble(entries,
-                                 [kernel[j].T for j in range(k)],
+    wp, d_min, d_max = _assemble(entries, kernel.transpose(0, 2, 1),
                                  c_in, c_out, p_in, p_out)
     bp = jnp.tile(bias, p_out)
     y = _folded_conv(xp, wp, bp, d_min, d_max, _rows(t_out, p_out, theta_out))

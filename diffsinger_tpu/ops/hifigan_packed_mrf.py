@@ -91,8 +91,8 @@ def pack_stage_weights(params: dict, stage_idx: int,
                     ("convs1", d, (k * d - d) // 2, theta, phi),
                     ("convs2", 1, (k - 1) // 2, phi, theta)):
                 ent = _conv_entries(k, dd, 1, pad, p, p, ti, to)
-                wp, _, _ = _assemble(ent, [rb[f"{nm}_{i}"]["kernel"][j]
-                                           for j in range(k)], ch, ch, p, p)
+                wp, _, _ = _assemble(ent, rb[f"{nm}_{i}"]["kernel"],
+                                     ch, ch, p, p)
                 mats.append(wp)  # [n, pc, pc]
                 biases.append(jnp.tile(rb[f"{nm}_{i}"]["bias"], p)[None])
         w_all.append(jnp.concatenate(mats, axis=0))

@@ -188,14 +188,70 @@ class DiffSingerTask:
         return kw
 
     # ------------------------------------------------------------------ loss
+    def _cond_forward(self, fs2_params, batch, drop_rng,
+                      deterministic: bool, use_gt_f0: bool):
+        """The training-mode FS2 conditioner forward (skip_decoder=True) on a
+        batch dict — shared by ``train_loss`` and ``precompute_scan_cond``."""
+        hp = self.hp
+        txt_tokens = jnp.asarray(batch["txt_tokens"])
+        mel2ph = jnp.asarray(batch["mel2ph"])
+        f0 = jnp.asarray(batch["f0"])
+        uv = jnp.asarray(batch["uv"])
+        energy = jnp.asarray(batch["energy"])
+        f0_in, uv_in = (f0, uv) if use_gt_f0 else (None, None)
+        variables = {"params": fs2_params}
+        if hp.get("pitch_type") == "cwt":
+            # f0 target derived from gt cwt (reference fs2.py task :121-123)
+            f0_use = self.m.fs2.apply(
+                variables, jnp.asarray(batch["cwt_spec"]),
+                jnp.asarray(batch["f0_mean"]), jnp.asarray(batch["f0_std"]),
+                method=FastSpeech2.cwt2f0_norm)
+        else:
+            f0_use = f0_in
+        return self.m.fs2.apply(
+            variables, txt_tokens, mel2ph=mel2ph, f0=f0_use, uv=uv_in,
+            energy=energy if hp.get("use_energy_embed") else None,
+            skip_decoder=True, deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": drop_rng},
+            **self._fs2_kwargs(batch))
+
+    def fs2_fully_frozen(self) -> bool:
+        """True when the trainable rule freezes the WHOLE fs2 subtree (the
+        DiffSinger production semantics, usr/diffsinger_task.py:60-64)."""
+        hp = self.hp
+        return bool(hp.get("fs2_ckpt")) and bool(
+            hp.get("freeze_fs2_all",
+                   hp.get("task_cls", "").find("DiffSpeech") < 0))
+
+    def precompute_scan_cond(self, params, stacked, rng,
+                             use_gt_f0: bool = True,
+                             deterministic: bool = False):
+        """One BATCHED FS2 call for all K scan batches (``cond_precompute``):
+        with the conditioner structurally frozen its forward carries no
+        gradient state, so the K per-step forwards collapse into a single
+        [K*B]-batch call hoisted out of the ``lax.scan`` — better MXU
+        utilization and K-1 fewer kernel launches. Returns the fs2 ret tree
+        with every leaf reshaped back to [K, B, ...] for per-step slicing."""
+        k, b = stacked["txt_tokens"].shape[:2]
+        flat = {kk: jnp.asarray(v).reshape((k * b,) + v.shape[2:])
+                for kk, v in stacked.items()
+                if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[0] == k}
+        ret = self._cond_forward(params["fs2"], flat, rng, deterministic,
+                                 use_gt_f0)
+        return {kk: v.reshape((k, b) + v.shape[1:]) for kk, v in ret.items()
+                if hasattr(v, "shape") and v.shape[:1] == (k * b,)}
+
     def train_loss(self, params, batch, rng, global_step=None,
-                   deterministic: bool = False, use_gt_f0: bool = True):
+                   deterministic: bool = False, use_gt_f0: bool = True,
+                   fs2_ret=None):
         """Returns (total_loss, loss_dict). Mirrors run_model of the reference
         tasks (usr/diffspeech_task.py:48-78, usr/diffsinger_task.py:273-314).
 
         ``use_gt_f0`` implements the switch_midi2f0_step curriculum
         (usr/diffsinger_task.py:284-289) as a *static* flag the trainer flips
         once when global_step crosses the threshold (one recompile).
+        ``fs2_ret`` is an optional precomputed conditioner forward (see
+        ``precompute_scan_cond``) — only sound when fs2 is fully frozen.
         """
         hp = self.hp
         txt_tokens = jnp.asarray(batch["txt_tokens"])
@@ -206,32 +262,13 @@ class DiffSingerTask:
         energy = jnp.asarray(batch["energy"])
 
         rng, drop_rng, t_rng, noise_rng = jax.random.split(rng, 4)
-        fs2_kwargs = self._fs2_kwargs(batch)
-
-        f0_in, uv_in = (f0, uv) if use_gt_f0 else (None, None)
-        if hp.get("pitch_type") == "cwt":
-            cwt_spec = jnp.asarray(batch["cwt_spec"])
-            f0_mean = jnp.asarray(batch["f0_mean"])
-            f0_std = jnp.asarray(batch["f0_std"])
         losses: Dict[str, jnp.ndarray] = {}
 
-        def fs2_forward(fs2_params):
-            variables = {"params": fs2_params}
-            if hp.get("pitch_type") == "cwt":
-                # f0 target derived from gt cwt (reference fs2.py task :121-123)
-                f0_cwt = self.m.fs2.apply(variables, cwt_spec, f0_mean, f0_std,
-                                          method=FastSpeech2.cwt2f0_norm)
-                f0_use = f0_cwt
-            else:
-                f0_use = f0_in
-            return self.m.fs2.apply(
-                variables, txt_tokens, mel2ph=mel2ph, f0=f0_use, uv=uv_in,
-                energy=energy if hp.get("use_energy_embed") else None,
-                skip_decoder=True, deterministic=deterministic,
-                rngs=None if deterministic else {"dropout": drop_rng},
-                **fs2_kwargs)
-
-        ret = fs2_forward(params["fs2"])
+        if fs2_ret is not None:
+            ret = fs2_ret
+        else:
+            ret = self._cond_forward(params["fs2"], batch, drop_rng,
+                                     deterministic, use_gt_f0)
         cond = ret["decoder_inp"]
 
         b = txt_tokens.shape[0]
@@ -351,8 +388,7 @@ class DiffSingerTask:
         hp = self.hp
         if not hp.get("fs2_ckpt"):
             return lambda path: True
-        freeze_all_fs2 = bool(hp.get("freeze_fs2_all",
-                                     hp.get("task_cls", "").find("DiffSpeech") < 0))
+        freeze_all_fs2 = self.fs2_fully_frozen()
         def rule(path):
             if path[0] != "fs2":
                 return True

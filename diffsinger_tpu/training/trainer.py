@@ -226,16 +226,17 @@ class Trainer:
 
         # NOTE: no unused args here — every argument is a per-call host->device
         # upload (a real HTTP round trip through the axon dev tunnel)
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, batch, rng, fs2_ret=None):
             # differentiate w.r.t. the trainable subtree only: XLA never
             # builds the frozen (e.g. whole-FS2) backward, and grad_norm /
             # clip see exactly what the reference's requires_grad=True set is
             p_train, p_frozen = partition_params(params, mask)
+            kw_step = dict(kw, fs2_ret=fs2_ret) if fs2_ret is not None else kw
 
             def loss_fn(pt):
                 total, losses = task.train_loss(merge_params(pt, p_frozen),
                                                 batch, rng, global_step=None,
-                                                **kw)
+                                                **kw_step)
                 new_state = losses.pop("_new_state", None)
                 return total, (losses, new_state)
 
@@ -264,16 +265,32 @@ class Trainer:
         the stacked batch's leading axis. The reference has no analogue (one
         Python step per batch, utils/pl_utils.py:1527)."""
         body = self._step_body(use_gt_f0)
+        task = self.task
+        # cond_precompute: with the WHOLE fs2 frozen (DiffSinger production
+        # semantics) its forward is gradient-free, so one [K*B]-batched FS2
+        # call hoisted out of the scan replaces K in-scan forwards (the
+        # named r4 training lever; reference freeze: usr/diffsinger_task.py:60-64)
+        hoist = bool(self.hp.get("cond_precompute")) \
+            and hasattr(task, "precompute_scan_cond") \
+            and task.fs2_fully_frozen()
 
         def multi_step(params, opt_state, batches, rngs):
+            pre = None
+            if hoist:
+                pre = task.precompute_scan_cond(
+                    params, batches, jax.random.fold_in(rngs[0], 7),
+                    use_gt_f0=use_gt_f0)
+
             def scan_body(carry, inp):
                 p, s = carry
-                batch, rng = inp
-                p, s, losses = body(p, s, batch, rng)
+                batch, rng = inp[0], inp[1]
+                p, s, losses = body(p, s, batch, rng,
+                                    fs2_ret=inp[2] if hoist else None)
                 return (p, s), losses
 
+            xs = (batches, rngs, pre) if hoist else (batches, rngs)
             (params, opt_state), losses = jax.lax.scan(
-                scan_body, (params, opt_state), (batches, rngs))
+                scan_body, (params, opt_state), xs)
             return params, opt_state, losses  # loss leaves stacked [K]
 
         return jax.jit(multi_step, donate_argnums=(0, 1))

@@ -310,3 +310,47 @@ def test_partitioned_step_matches_full_grads():
     gn_expected = float(jnp.linalg.norm(grads_full["denoiser"]["k"]))
     np.testing.assert_allclose(gn, gn_expected, rtol=1e-6)
     assert gn != float(optax.global_norm(grads_full))  # fs2 excluded
+
+
+def test_cond_precompute_scan_matches_unhoisted(tmp_path):
+    """cond_precompute hoists the frozen-FS2 conditioner out of the K-step
+    scan as ONE [K*B]-batched FS2 call (the r4 named training lever). With
+    dropout 0 and identical rng splits (t/noise draws are unaffected by the
+    hoist), per-step losses and final params must match the unhoisted scan."""
+    import jax
+
+    from diffsinger_tpu.data.dataset import FastSpeechDataset
+    from diffsinger_tpu.parallel.mesh import make_mesh
+    from diffsinger_tpu.training.tasks import build_task
+    from diffsinger_tpu.training.trainer import Trainer
+    from tests.helpers import make_synthetic_dataset, tiny_hparams
+
+    data_dir = make_synthetic_dataset(str(tmp_path / "ds"), n_train=4)
+    K = 3
+    runs = {}
+    for pre in (False, True):
+        hp = tiny_hparams(data_dir, work_dir=str(tmp_path / f"exp_{pre}"))
+        hp.update(dropout=0.0, predictor_dropout=0.0,
+                  fs2_ckpt="__frozen_bench__",  # freeze engages; no file ->
+                  freeze_fs2_all=True,          # warm start skipped w/ warning
+                  cond_precompute=pre)
+        ds = FastSpeechDataset(hp, "train")
+        task = build_task(hp, vocab_size=10)
+        assert task.fs2_fully_frozen()
+        tr = Trainer(hp, task,
+                     mesh=make_mesh(num_data=1, devices=jax.devices()[:1]))
+        batch = next(ds.iter_batches(max_sentences=4))
+        tr.initialize(batch)
+        dev = tr.prepare_batch(batch)
+        out = tr.train_step_many([dev] * K, jax.random.PRNGKey(5))
+        runs[pre] = ({k: np.asarray(v) for k, v in out["losses_all"].items()},
+                     tr.params)
+    losses0, params0 = runs[False]
+    losses1, params1 = runs[True]
+    for k in losses0:
+        np.testing.assert_allclose(losses1[k], losses0[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(params0),
+                    jax.tree_util.tree_leaves(params1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-6)

@@ -77,14 +77,17 @@ def main():
                 mel = out["mel_out"]
                 mel = jnp.where((out["mel2ph"] > 0)[..., None], mel,
                                 jnp.min(mel))
-                if backend == "packed" or (backend == "auto" and b >= 1):
-                    # r4: time-folded small-channel scales (measured winner at
-                    # both batch points — see BENCH.md vocoder table);
-                    # 'fuse' adds the Pallas VMEM-fused folded scales
+                if backend == "packed" or backend == "auto":
+                    # time-folded small-channel scales (measured winner at
+                    # both batch points — BENCH.md vocoder table); 'auto'
+                    # mirrors the shipped vocoder_packed_fuse: 'auto'
+                    # heuristic (Pallas fused scales at B<=2 only); 'fuse'
+                    # forces the fused scales at every batch
+                    fuse = "fuse" in sys.argv or (backend == "auto" and b <= 2)
                     return hifigan_packed_apply(vp, vcfg, mel,
                                                 out["f0_denorm"], k2,
-                                                fuse_stages="fuse" in sys.argv)
-                if backend == "mrf" or (backend == "auto" and b == 1):
+                                                fuse_stages=fuse)
+                if backend == "mrf":
                     return hifigan_mrf_apply(vp, vcfg, mel, out["f0_denorm"],
                                              k2)
                 return gen.apply({"params": vp}, mel, out["f0_denorm"], k2)
