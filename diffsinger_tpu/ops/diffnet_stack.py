@@ -32,6 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SQRT_HALF = 0.5 ** 0.5
+# VMEM the fused kernel may assume for its whole-[T, C] resident tiles; above
+# this the XLA layerwise twin runs instead (tests shrink it to force the
+# fallback at toy sizes)
+VMEM_TILE_BUDGET = 10 * 1024 * 1024
 
 
 def _shift_t(arr: jnp.ndarray, offset: int) -> jnp.ndarray:
@@ -100,6 +104,40 @@ def _make_kernel(dilations: Sequence[int], num_layers: int,
     return kernel
 
 
+def _stack_xla(x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out, *,
+               dilations, compute_dtype=None):
+    """XLA layerwise twin of the kernel (the long-sequence fallback): the
+    same shifted-matmul formulation, bf16 MXU inputs with f32 accumulation,
+    so switching paths by sequence length never changes numerics class."""
+    dt = compute_dtype
+    f32 = jnp.float32
+    x = x0
+    skips = jnp.zeros_like(x0)
+    for i, d in enumerate(dilations):
+        y = x + step_proj[i][:, None, :].astype(x.dtype)
+        if dt is not None:
+            y = y.astype(dt)
+        w = w_dil[i].astype(dt) if dt is not None else w_dil[i]
+        conv = (jnp.einsum("btc,cd->btd", _shift_t(y, -d), w[0],
+                           preferred_element_type=f32)
+                + jnp.einsum("btc,cd->btd", y, w[1],
+                             preferred_element_type=f32)
+                + jnp.einsum("btc,cd->btd", _shift_t(y, d), w[2],
+                             preferred_element_type=f32)
+                + b_dil[i].astype(f32) + cond_proj[i].astype(f32))
+        gate, filt = jnp.split(conv, 2, axis=-1)
+        g = jax.nn.sigmoid(gate) * jnp.tanh(filt)
+        if dt is not None:
+            g = g.astype(dt)
+        wo = w_out[i].astype(dt) if dt is not None else w_out[i]
+        out = jnp.einsum("btc,cd->btd", g, wo,
+                         preferred_element_type=f32) + b_out[i].astype(f32)
+        residual, skip = jnp.split(out, 2, axis=-1)
+        x = (x + residual) * SQRT_HALF
+        skips = skips + skip
+    return skips
+
+
 @functools.partial(jax.jit,
                    static_argnames=("dilations", "batch_tile", "interpret",
                                     "compute_dtype"))
@@ -123,6 +161,18 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
     bsz, t, c = x0.shape
     num_layers = w_dil.shape[0]
     assert len(dilations) == num_layers
+    # The kernel keeps the whole [T, C] activation + skip accumulator + the
+    # streamed cond tile in VMEM — at singing lengths (T 4096-8000, hop-128
+    # 24 kHz, max_frames 8000 per configs/singing/base.yaml) that exceeds the
+    # 16 MB budget. Fall back to the numerically-equivalent XLA layerwise
+    # form (same shifted-matmul math, same bf16-input/f32-accumulate
+    # contraction) when the estimated tile footprint doesn't fit.
+    cond_bytes = 2 if compute_dtype is not None else 4
+    vmem_est = t * c * (4 * 4 + 2 * 2 * cond_bytes)  # x0+out+2 scratch+2 cond
+    if vmem_est > VMEM_TILE_BUDGET:
+        return _stack_xla(x0, step_proj, cond_proj, w_dil, b_dil, w_out,
+                          b_out, dilations=dilations,
+                          compute_dtype=compute_dtype)
     bt = min(batch_tile, bsz)
     assert bsz % bt == 0, (bsz, bt)
     grid = (bsz // bt, num_layers)

@@ -364,3 +364,30 @@ def test_diffnet_stack_production_shape_interpret(rng):
     scale = np.abs(want).max()
     assert np.abs(got - want).max() < 2e-4 * max(1.0, scale), (
         np.abs(got - want).max(), scale)
+
+
+def test_diffnet_stack_long_seq_xla_fallback(rng, monkeypatch):
+    """Singing-length sequences (T up to 8000, configs/singing/base.yaml:20)
+    exceed the kernel's whole-[T, C] VMEM residency; diffnet_stack must fall
+    back to the XLA layerwise twin with identical results. Forced here by
+    shrinking the budget so the toy shape takes the fallback path."""
+    from diffsinger_tpu.ops import diffnet_stack as ds_mod
+
+    net, params, spec, t, cond = _setup(rng)
+    x_final, skips, step = _reference_skip_sum(net, params, spec, t, cond)
+    x0 = jax.nn.relu(jnp.einsum("btm,kmc->btc", spec,
+                                params["input_projection"]["kernel"])
+                     + params["input_projection"]["bias"])
+    step_proj = jnp.stack([step @ params[f"step_projection_{i}"]["kernel"]
+                           + params[f"step_projection_{i}"]["bias"]
+                           for i in range(L)])
+    cond_proj = jnp.stack([jnp.einsum("bth,khc->btc", cond,
+                                      params[f"cond_projection_{i}"]["kernel"])
+                           + params[f"cond_projection_{i}"]["bias"]
+                           for i in range(L)])
+    w_dil, b_dil, w_out, b_out = pack_diffnet_params(params, L)
+    dilations = tuple(2 ** (i % CYCLE) for i in range(L))
+    monkeypatch.setattr(ds_mod, "VMEM_TILE_BUDGET", 1)  # force the fallback
+    got = ds_mod.diffnet_stack(x0, step_proj, cond_proj, w_dil, b_dil, w_out,
+                               b_out, dilations=dilations, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(skips), atol=1e-4)
