@@ -34,8 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 SQRT_HALF = 0.5 ** 0.5
 # VMEM the fused kernel may assume for its whole-[T, C] resident tiles; above
 # this the XLA layerwise twin runs instead (tests shrink it to force the
-# fallback at toy sizes)
-VMEM_TILE_BUDGET = 10 * 1024 * 1024
+# fallback at toy sizes). 9 MB admits every measured-good configuration
+# (f32/bf16 cycle-1/2 at T=1024, bf16 cycle-4 at T=1024) and rejects the
+# f32 cycle-4 T=1024 point whose staged-shift scratches overflow the chip's
+# 16 MB VMEM (measured compile crash, r5).
+VMEM_TILE_BUDGET = 9 * 1024 * 1024
 
 
 def _shift_t(arr: jnp.ndarray, offset: int) -> jnp.ndarray:
@@ -54,7 +57,7 @@ def _make_kernel(dilations: Sequence[int], num_layers: int,
     dt = compute_dtype
 
     def kernel(dil_idx_ref, x0_ref, step_ref, cond_ref, wdil_ref, bdil_ref,
-               wout_ref, bout_ref, out_ref, x_scr, skip_scr):
+               wout_ref, bout_ref, out_ref, x_scr, skip_scr, *shift_scr):
         l = pl.program_id(1)
 
         @pl.when(l == 0)
@@ -75,16 +78,41 @@ def _make_kernel(dilations: Sequence[int], num_layers: int,
 
         center = jnp.dot(y2, w1, preferred_element_type=jnp.float32)
 
-        def dil_branch(d):
-            def f(_):
-                lo = _shift_t(y, -d).reshape(bt * t, c)   # y[t - d]
-                hi = _shift_t(y, d).reshape(bt * t, c)    # y[t + d]
-                return (jnp.dot(lo, w0, preferred_element_type=jnp.float32)
-                        + jnp.dot(hi, w2, preferred_element_type=jnp.float32))
-            return f
+        if len(dilation_set) <= 2:
+            # small static sets: branch on the per-layer dilation index
+            # (a 3+-way switch over unrolled branches SIGSEGVs Mosaic — r4)
+            def dil_branch(d):
+                def f(_):
+                    lo = _shift_t(y, -d).reshape(bt * t, c)   # y[t - d]
+                    hi = _shift_t(y, d).reshape(bt * t, c)    # y[t + d]
+                    return (jnp.dot(lo, w0,
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(hi, w2,
+                                      preferred_element_type=jnp.float32))
+                return f
 
-        side = jax.lax.switch(dil_idx_ref[l],
-                              [dil_branch(d) for d in dilation_set], None)
+            side = jax.lax.switch(dil_idx_ref[l],
+                                  [dil_branch(d) for d in dilation_set], None)
+        else:
+            # cycle-4 (OpenCpop: dilations 1,2,4,8): per-dilation SINGLE-
+            # branch predication (pl.when) stages the selected +/-d shifts
+            # into two scratch tiles, then one matmul pair runs on them. A
+            # 3+-way lax.switch SIGSEGVs Mosaic; lax.dynamic_slice / dynamic
+            # pltpu.roll / dynamic-start scratch slices don't lower; and the
+            # masked-sum-of-all-shifts form crashes the compiler at T=1024
+            # (all shifted copies live at once). Predicated stores bound the
+            # liveness to one shifted copy at a time.
+            lo_scr, hi_scr = shift_scr
+            d_l = dil_idx_ref[l]
+            for d in dilation_set:
+                @pl.when(d_l == d)
+                def _(d=d):
+                    lo_scr[:] = _shift_t(y, -d)
+                    hi_scr[:] = _shift_t(y, d)
+            side = (jnp.dot(lo_scr[:].reshape(bt * t, c), w0,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(hi_scr[:].reshape(bt * t, c), w2,
+                              preferred_element_type=jnp.float32))
         conv = (center + side + bdil_ref[0]
                 + cond_ref[0].reshape(bt * t, -1).astype(jnp.float32))
         gate, filt = jnp.split(conv, 2, axis=-1)
@@ -168,7 +196,9 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
     # form (same shifted-matmul math, same bf16-input/f32-accumulate
     # contraction) when the estimated tile footprint doesn't fit.
     cond_bytes = 2 if compute_dtype is not None else 4
-    vmem_est = t * c * (4 * 4 + 2 * 2 * cond_bytes)  # x0+out+2 scratch+2 cond
+    shift_bytes = cond_bytes if len(set(dilations)) > 2 else 0
+    # x0 + out + x_scr + skip_scr (f32) + double-buffered cond + shift stages
+    vmem_est = t * c * (4 * 4 + 2 * 2 * cond_bytes + 2 * shift_bytes)
     if vmem_est > VMEM_TILE_BUDGET:
         return _stack_xla(x0, step_proj, cond_proj, w_dil, b_dil, w_out,
                           b_out, dilations=dilations,
@@ -178,7 +208,11 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
     grid = (bsz // bt, num_layers)
 
     dilation_set = sorted(set(dilations))
-    dil_idx = jnp.asarray([dilation_set.index(d) for d in dilations], jnp.int32)
+    if len(dilation_set) <= 2:  # switch path: per-layer INDEX into the set
+        dil_idx = jnp.asarray([dilation_set.index(d) for d in dilations],
+                              jnp.int32)
+    else:  # branchless path: per-layer dilation VALUE (dynamic shift amount)
+        dil_idx = jnp.asarray(dilations, jnp.int32)
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
     if cdt is not None:  # bf16 MXU: halves weight/cond HBM streaming too
         w_dil, w_out = w_dil.astype(cdt), w_out.astype(cdt)
@@ -205,7 +239,8 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((bt, t, c), jnp.float32),
             pltpu.VMEM((bt, t, c), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((bt, t, c), cdt or jnp.float32)] * 2
+             if len(dilation_set) > 2 else []),  # staged +/-d shifts
     )
     kwargs = {}
     if not interpret:

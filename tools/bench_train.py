@@ -32,7 +32,11 @@ def main():
     if "pallas" in sys.argv:
         # fused training stack with the hand-written backward kernel
         hp["use_pallas_diffnet_train"] = True
-    if "freeze" in sys.argv:
+    if "condpre" in sys.argv:
+        # hoist the frozen-FS2 conditioner out of the K-step scan as one
+        # [K*B]-batched call (the r4 named lever; implies freeze)
+        hp["cond_precompute"] = True
+    if "freeze" in sys.argv or "condpre" in sys.argv:
         # DiffSinger production semantics (usr/diffsinger_task.py:60-64): the
         # whole FS2 is frozen. Round-4 structural freezing means XLA never
         # builds the FS2 backward — this flag measures that saving. (The ckpt

@@ -291,6 +291,120 @@ def widthcmp():
                    bytes_=(n_tot + 18) * B * t * c * 2)
 
 
+def c128():
+    """MRF1 (C=128, T=65536) alternatives: XLA conv vs k-shifted-matmul form
+    (the formulation that runs the DiffNet sampler at 86% MFU) vs a
+    3-branch grouped conv. XLA conv measured 75% of roofline here (budget
+    mode) — is the conv emitter or the math the limiter?"""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    c, t = 128, 65536
+    params = _mk_stage_params(rng, 0, c)
+    x = jnp.asarray(rng.randn(B, t, c).astype(np.float32) * 0.1)
+    cast = lambda a: a.astype(jnp.bfloat16)
+    useful = 2 * B * t * c * c * 2 * sum(KS) * 3
+    _null_jit()
+
+    def conv_mrf(pr, xx):
+        xs = None
+        for j, (k, dils) in enumerate(zip(KS, DS)):
+            rb = pr[f"resblocks_{j}"]
+            xc = xx
+            for i, d in enumerate(dils):
+                xt = jax.nn.leaky_relu(xc, 0.1)
+                xt = jax.lax.conv_general_dilated(
+                    cast(xt), cast(rb[f"convs1_{i}"]["kernel"]), (1,),
+                    [((k * d - d) // 2,) * 2], rhs_dilation=(d,),
+                    dimension_numbers=("NHC", "HIO", "NHC")
+                ) + cast(rb[f"convs1_{i}"]["bias"])
+                xt = jax.nn.leaky_relu(xt, 0.1)
+                xt = jax.lax.conv_general_dilated(
+                    cast(xt), cast(rb[f"convs2_{i}"]["kernel"]), (1,),
+                    [((k - 1) // 2,) * 2],
+                    dimension_numbers=("NHC", "HIO", "NHC")
+                ) + cast(rb[f"convs2_{i}"]["bias"])
+                xc = xc + xt
+            xs = xc if xs is None else xs + xc
+        return xs / 3
+
+    def shift(a, off):
+        if off == 0:
+            return a
+        tt = a.shape[1]
+        if off > 0:
+            return jnp.pad(a[:, off:], ((0, 0), (0, off), (0, 0)))
+        return jnp.pad(a[:, : tt + off], ((0, 0), (-off, 0), (0, 0)))
+
+    def mm_conv(xx, w, b, k, d):
+        half = (k - 1) // 2
+        y = None
+        for j in range(k):
+            term = jnp.einsum("btc,cd->btd", shift(xx, (j - half) * d),
+                              cast(w[j]),
+                              preferred_element_type=jnp.float32)
+            y = term if y is None else y + term
+        return (y + b).astype(jnp.bfloat16)
+
+    def mm_mrf(pr, xx):
+        xs = None
+        for j, (k, dils) in enumerate(zip(KS, DS)):
+            rb = pr[f"resblocks_{j}"]
+            xc = xx
+            for i, d in enumerate(dils):
+                xt = cast(jax.nn.leaky_relu(xc, 0.1))
+                xt = mm_conv(xt, rb[f"convs1_{i}"]["kernel"],
+                             rb[f"convs1_{i}"]["bias"], k, d)
+                xt = cast(jax.nn.leaky_relu(xt, 0.1))
+                xt = mm_conv(xt, rb[f"convs2_{i}"]["kernel"],
+                             rb[f"convs2_{i}"]["bias"], k, 1)
+                xc = xc + xt
+            xs = xc if xs is None else xs + xc
+        return xs / 3
+
+    def grouped_mrf(pr, xx):
+        # 3 branches stacked on channels, one grouped conv per (stage, conv)
+        # position: kernels padded to k=11 taps, feature_group_count=3
+        kmax = max(KS)
+        xg = jnp.concatenate([xx] * 3, axis=-1)  # [B, T, 3C]
+        for i in range(3):
+            for nm, dil in (("convs1", DS[0][i]), ("convs2", 1)):
+                xt = jax.nn.leaky_relu(xg, 0.1)
+                ws, bs = [], []
+                for j, k in enumerate(KS):
+                    w = pr[f"resblocks_{j}"][f"{nm}_{i}"]["kernel"]
+                    pad = (kmax - k) // 2
+                    ws.append(jnp.pad(w, ((pad, kmax - k - pad), (0, 0),
+                                          (0, 0))))
+                    bs.append(pr[f"resblocks_{j}"][f"{nm}_{i}"]["bias"])
+                wg = jnp.concatenate(ws, axis=-1)     # [kmax, C, 3C]
+                bg = jnp.concatenate(bs)
+                d = dil
+                xt = jax.lax.conv_general_dilated(
+                    cast(xt), cast(wg), (1,),
+                    [((kmax * d - d) // 2,) * 2], rhs_dilation=(d,),
+                    feature_group_count=3,
+                    dimension_numbers=("NHC", "HIO", "NHC")) + cast(bg)
+                xg = xg + xt
+        a, b_, c_ = jnp.split(xg, 3, axis=-1)
+        return (a + b_ + c_) / 3
+
+    _bench("MRF1 C=128 conv   bf16", conv_mrf, params, x, flops=useful)
+    _bench("MRF1 C=128 matmul bf16", mm_mrf, params, x, flops=useful)
+    # grouped pads every kernel to k=11: executed = 3*11 / (3+7+11) taps
+    _bench("MRF1 C=128 grouped bf16", grouped_mrf, params, x,
+           flops=useful * (3 * max(KS)) / sum(KS))
+    # B=1 points (single-stream serving: overhead-bound regime)
+    x1 = x[:1]
+    _bench("MRF1 C=128 conv   bf16 B=1", conv_mrf, params, x1,
+           flops=useful // B)
+    _bench("MRF1 C=128 matmul bf16 B=1", mm_mrf, params, x1,
+           flops=useful // B)
+    _bench("MRF1 C=128 grouped bf16 B=1", grouped_mrf, params, x1,
+           flops=useful * (3 * max(KS)) / sum(KS) / B)
+
+
 if __name__ == "__main__":
     import jax
 
