@@ -166,6 +166,54 @@ def _stack_xla(x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out, *,
     return skips
 
 
+def _stack_chunked(x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out, *,
+                   dilations, t_chunk, halo, batch_tile, interpret,
+                   compute_dtype):
+    """Long sequences through the FUSED kernel: T sliced into VMEM-sized
+    chunks with a receptive-field halo (Σ dilations, rounded to sublanes).
+    Each chunk runs the unmodified whole-stack kernel on [t_chunk + 2·halo]
+    frames; only the valid center is kept. Zero-padded halos at the sequence
+    edges reproduce the kernel's SAME-padding shift semantics, so the
+    stitched result equals the monolithic stack exactly (equality-tested).
+    Recompute overhead = 2·halo/t_chunk (~15% at the production config).
+
+    Tiles are slices of the REAL array with clamped starts (never synthetic
+    zero-padding): a tile edge is either the true sequence edge — where the
+    kernel's zero-filled shifts are exactly the monolithic semantics — or at
+    least ``halo`` rows away from the tile's valid region, beyond the
+    receptive radius. Zero-padding an edge halo instead is WRONG: padded
+    rows accumulate bias-driven values through the layers where the
+    monolithic kernel reads hard zeros (caught by the equality test)."""
+    b, t, c = x0.shape
+    num_l = w_dil.shape[0]
+    t_tile = t_chunk + 2 * halo
+    n_chunks = -(-t // t_chunk)
+
+    # One fori_loop so the program holds ONE kernel instance — unrolling the
+    # chunk loop instantiates the 20-layer kernel per chunk and crashes the
+    # Mosaic compile helper from 4 instances up (measured r5). Dynamic
+    # slices read tiles straight off the originals (no stacked input copy —
+    # the cond tensor is the dominant HBM object). The last chunk's valid
+    # window is realigned to end at t, overlapping its neighbor; both
+    # compute identical values there, so the overwrite is benign.
+    def body(k, out):
+        v0 = jnp.minimum(k * t_chunk, t - t_chunk)
+        start = jnp.clip(v0 - halo, 0, t - t_tile)
+        x0_k = jax.lax.dynamic_slice(x0, (0, start, 0), (b, t_tile, c))
+        cond_k = jax.lax.dynamic_slice(cond_proj, (0, 0, start, 0),
+                                       (num_l, b, t_tile, 2 * c))
+        skip_k = diffnet_stack(x0_k, step_proj, cond_k, w_dil, b_dil, w_out,
+                               b_out, dilations=dilations,
+                               batch_tile=batch_tile, interpret=interpret,
+                               compute_dtype=compute_dtype)
+        valid = jax.lax.dynamic_slice(skip_k, (0, v0 - start, 0),
+                                      (b, t_chunk, c))
+        return jax.lax.dynamic_update_slice(out, valid, (0, v0, 0))
+
+    out = jnp.zeros((b, t, c), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("dilations", "batch_tile", "interpret",
                                     "compute_dtype"))
@@ -198,8 +246,19 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
     cond_bytes = 2 if compute_dtype is not None else 4
     shift_bytes = cond_bytes if len(set(dilations)) > 2 else 0
     # x0 + out + x_scr + skip_scr (f32) + double-buffered cond + shift stages
-    vmem_est = t * c * (4 * 4 + 2 * 2 * cond_bytes + 2 * shift_bytes)
-    if vmem_est > VMEM_TILE_BUDGET:
+    per_row = c * (4 * 4 + 2 * 2 * cond_bytes + 2 * shift_bytes)
+    if t * per_row > VMEM_TILE_BUDGET:
+        # singing lengths: halo-chunked kernel calls keep the fused stack's
+        # MFU; the XLA layerwise twin covers interpret mode and degenerate
+        # geometries where even one chunk + halo can't fit
+        halo = -(-int(sum(dilations)) // 8) * 8
+        t_chunk = ((VMEM_TILE_BUDGET // per_row - 2 * halo) // 128) * 128
+        if t_chunk >= 256 and t >= t_chunk + 2 * halo:
+            return _stack_chunked(
+                x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out,
+                dilations=dilations, t_chunk=t_chunk, halo=halo,
+                batch_tile=batch_tile, interpret=interpret,
+                compute_dtype=compute_dtype)
         return _stack_xla(x0, step_proj, cond_proj, w_dil, b_dil, w_out,
                           b_out, dilations=dilations,
                           compute_dtype=compute_dtype)

@@ -391,3 +391,40 @@ def test_diffnet_stack_long_seq_xla_fallback(rng, monkeypatch):
     got = ds_mod.diffnet_stack(x0, step_proj, cond_proj, w_dil, b_dil, w_out,
                                b_out, dilations=dilations, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(skips), atol=1e-4)
+
+
+def test_diffnet_stack_chunked_matches_xla_twin(rng, monkeypatch):
+    """Halo-chunked kernel calls (the long-sequence path) must equal the
+    monolithic math: budget shrunk so T=640 splits into 256-frame chunks
+    with a 16-frame halo; result compared against the XLA layerwise twin
+    (itself equality-tested against the kernel above)."""
+    from diffsinger_tpu.ops import diffnet_stack as ds_mod
+
+    t_len = 640
+    net, params, spec, t, cond = _setup(rng, t_len=t_len)
+    x_final, skips, step = _reference_skip_sum(net, params, spec, t, cond)
+    x0 = jax.nn.relu(jnp.einsum("btm,kmc->btc", spec,
+                                params["input_projection"]["kernel"])
+                     + params["input_projection"]["bias"])
+    step_proj = jnp.stack([step @ params[f"step_projection_{i}"]["kernel"]
+                           + params[f"step_projection_{i}"]["bias"]
+                           for i in range(L)])
+    cond_proj = jnp.stack([jnp.einsum("bth,khc->btc", cond,
+                                      params[f"cond_projection_{i}"]["kernel"])
+                           + params[f"cond_projection_{i}"]["bias"]
+                           for i in range(L)])
+    w_dil, b_dil, w_out, b_out = pack_diffnet_params(params, L)
+    dilations = tuple(2 ** (i % CYCLE) for i in range(L))
+    args = (x0, step_proj, cond_proj, w_dil, b_dil, w_out, b_out)
+
+    # per_row = C * 32 (f32, cycle<=2); budget sized for t_chunk = 256
+    per_row = C * 32
+    halo = -(-sum(dilations) // 8) * 8
+    budget = per_row * (256 + 2 * halo)
+    monkeypatch.setattr(ds_mod, "VMEM_TILE_BUDGET", budget)
+    ds_mod.diffnet_stack.clear_cache()
+    try:
+        got = ds_mod.diffnet_stack(*args, dilations=dilations, interpret=True)
+    finally:
+        ds_mod.diffnet_stack.clear_cache()  # traced with the shrunk budget
+    np.testing.assert_allclose(np.asarray(got), np.asarray(skips), atol=1e-4)
