@@ -428,3 +428,39 @@ def test_diffnet_stack_chunked_matches_xla_twin(rng, monkeypatch):
     finally:
         ds_mod.diffnet_stack.clear_cache()  # traced with the shrunk budget
     np.testing.assert_allclose(np.asarray(got), np.asarray(skips), atol=1e-4)
+
+
+def test_diffnet_stack_chunked_cycle4(rng, monkeypatch):
+    """Chunked long-sequence path × cycle-4 dilations together (the singing
+    production combination): halo spans the full 1+2+4+8 receptive radius."""
+    from diffsinger_tpu.ops import diffnet_stack as ds_mod
+
+    l_num, cycle, t_len = 8, 4, 768
+    net, params, spec, t, cond = _setup(rng, t_len=t_len, l_num=l_num,
+                                        cycle=cycle)
+    x_final, skips, step = _reference_skip_sum(net, params, spec, t, cond,
+                                               l_num=l_num, cycle=cycle)
+    x0 = jax.nn.relu(jnp.einsum("btm,kmc->btc", spec,
+                                params["input_projection"]["kernel"])
+                     + params["input_projection"]["bias"])
+    step_proj = jnp.stack([step @ params[f"step_projection_{i}"]["kernel"]
+                           + params[f"step_projection_{i}"]["bias"]
+                           for i in range(l_num)])
+    cond_proj = jnp.stack([jnp.einsum("bth,khc->btc", cond,
+                                      params[f"cond_projection_{i}"]["kernel"])
+                           + params[f"cond_projection_{i}"]["bias"]
+                           for i in range(l_num)])
+    w_dil, b_dil, w_out, b_out = pack_diffnet_params(params, l_num)
+    dilations = tuple(2 ** (i % cycle) for i in range(l_num))
+    halo = -(-sum(dilations) // 8) * 8  # 30 -> 32
+    per_row = C * (16 + 16 + 8)  # f32, >2 dilations: cond 16 + shifts 8
+    budget = per_row * (256 + 2 * halo)
+    monkeypatch.setattr(ds_mod, "VMEM_TILE_BUDGET", budget)
+    ds_mod.diffnet_stack.clear_cache()
+    try:
+        got = ds_mod.diffnet_stack(*(x0, step_proj, cond_proj, w_dil, b_dil,
+                                     w_out, b_out), dilations=dilations,
+                                   interpret=True)
+    finally:
+        ds_mod.diffnet_stack.clear_cache()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(skips), atol=1e-4)
