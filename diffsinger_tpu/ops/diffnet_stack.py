@@ -316,7 +316,7 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
 
 
 def precompute_cond_packed(params: dict, cond: jnp.ndarray,
-                           num_layers: int) -> jnp.ndarray:
+                           num_layers: int, compute_dtype=None) -> jnp.ndarray:
     """All L conditioner projections as ONE matmul: cond [B, T, H] ->
     [L, B, T, 2C].
 
@@ -330,6 +330,11 @@ def precompute_cond_packed(params: dict, cond: jnp.ndarray,
                           for i in range(num_layers)])
     b, t, _ = cond.shape
     out = jnp.einsum("bth,hd->btd", cond, ks) + bs
+    if compute_dtype is not None:
+        # cast in the matmul epilogue, BEFORE the [B,T,L,2C]->[L,B,T,2C]
+        # transpose: the 336 MB f32 intermediate halves to 168 MB and the
+        # transpose moves bf16 — same final values as casting afterwards
+        out = out.astype(compute_dtype)
     return out.reshape(b, t, num_layers, -1).transpose(2, 0, 1, 3)
 
 

@@ -361,16 +361,18 @@ class DiffSingerTask:
         if isinstance(self.m.diffnet, DiffNet):
             from diffsinger_tpu.ops.diffnet_stack import precompute_cond_packed
 
+            cdt = jnp.bfloat16 if str(
+                hp.get("compute_dtype", "float32")) == "bfloat16" \
+                and hp.get("use_pallas_diffnet") else None
             cond_ctx = precompute_cond_packed(
                 params["denoiser"], cond,
-                int(hp.get("residual_layers", 20)))
+                int(hp.get("residual_layers", 20)), compute_dtype=cdt)
             if hp.get("use_pallas_diffnet"):
                 # also hoist weight packing (+ bf16 cast: halves the dominant
-                # per-step HBM stream, the [L, B, T, 2C] cond tensor)
+                # per-step HBM stream, the [L, B, T, 2C] cond tensor; the
+                # cond itself was already cast pre-transpose above)
                 from diffsinger_tpu.ops.diffnet_stack import pack_sampling_ctx
 
-                cdt = jnp.bfloat16 if str(
-                    hp.get("compute_dtype", "float32")) == "bfloat16" else None
                 cond_ctx = pack_sampling_ctx(
                     params["denoiser"], cond_ctx,
                     int(hp.get("residual_layers", 20)), compute_dtype=cdt)
