@@ -113,6 +113,9 @@ class SVSWebApp:
                 except ValueError:
                     self._send(400, "text/plain", b"bad Content-Length")
                     return
+                if n < 0:  # rfile.read(-1) would block until client EOF
+                    self._send(400, "text/plain", b"bad Content-Length")
+                    return
                 if n > MAX_REQUEST_BYTES:  # lyric/MIDI payloads are tiny
                     self._send(413, "text/plain", b"request body too large")
                     return

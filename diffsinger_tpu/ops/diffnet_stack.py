@@ -245,8 +245,10 @@ def diffnet_stack(x0: jnp.ndarray, step_proj: jnp.ndarray,
     # contraction) when the estimated tile footprint doesn't fit.
     cond_bytes = 2 if compute_dtype is not None else 4
     shift_bytes = cond_bytes if len(set(dilations)) > 2 else 0
-    # x0 + out + x_scr + skip_scr (f32) + double-buffered cond + shift stages
-    per_row = c * (4 * 4 + 2 * 2 * cond_bytes + 2 * shift_bytes)
+    bt_est = min(batch_tile, bsz)
+    # x0 + out + x_scr + skip_scr (f32) + double-buffered cond + shift
+    # stages — all [batch_tile, t, c] tiles, so the footprint scales with bt
+    per_row = bt_est * c * (4 * 4 + 2 * 2 * cond_bytes + 2 * shift_bytes)
     if t * per_row > VMEM_TILE_BUDGET:
         # singing lengths: halo-chunked kernel calls keep the fused stack's
         # MFU; the XLA layerwise twin covers interpret mode and degenerate

@@ -508,6 +508,18 @@ class Trainer:
             print(f"| torch checkpoint {path} does not map onto param tops "
                   f"{sorted(tops)}; ignoring")
             return False
+        import flax.traverse_util as trav
+
+        flat_params = trav.flatten_dict(self.params)
+        n_merge = sum(1 for k in trav.flatten_dict(conv) if k in flat_params)
+        if n_merge == 0:
+            # e.g. a vocoder checkpoint dropped into a task work_dir: the
+            # 'model.'-slice fallback yields keys, but conversion maps none
+            # of them — restoring "successfully" would silently keep random
+            # weights while jumping global_step to the checkpoint's step
+            print(f"| torch checkpoint {path} contributed no parameters for "
+                  f"this task; ignoring")
+            return False
         self.params = merge_params(self.params, conv)
         pt, _ = partition_params(self.params, self.mask)
         self.opt_state = self.tx.init(pt)

@@ -338,3 +338,46 @@ def test_hifigan_json_ckpt_layout(tmp_path):
     wav = voc.spec2wav(mel)
     assert wav.shape == (12 * voc.cfg.total_upsample,)
     assert np.isfinite(wav).all()
+
+
+def test_foreign_torch_ckpt_is_rejected(tmp_path):
+    """A checkpoint whose keys map onto NONE of the task's params (e.g. a
+    vocoder ckpt dropped into a task work_dir) must NOT count as a restore:
+    params stay init and global_step stays 0 (code-review r5 finding)."""
+    ref, h = _ref_generator(False, 22050)
+    hp = _our_hp(tmp_path, "foreign", task_cls="diff")
+    os.makedirs(hp["work_dir"], exist_ok=True)
+    torch.save({"state_dict": {"model_gen": ref.state_dict()},
+                "global_step": 2500000},
+               os.path.join(hp["work_dir"], "model_ckpt_steps_2500000.ckpt"))
+    from diffsinger_tpu.training.tasks import build_task
+    from diffsinger_tpu.training.trainer import Trainer
+
+    task = build_task(hp, vocab_size=V)
+    trainer = Trainer(hp, task)
+    trainer.initialize(_batch())
+    assert trainer.global_step == 0  # NOT 2500000
+
+
+def test_negative_content_length_gets_400():
+    """'Content-Length: -1' must return 400, not block the handler thread on
+    rfile.read(-1) (code-review r5 finding)."""
+    import socket
+    import types as _types
+
+    from diffsinger_tpu.inference.web_app import SVSWebApp
+
+    core = _types.SimpleNamespace(title="t", description="d",
+                                  greet=lambda *a: (_ for _ in ()).throw(
+                                      RuntimeError("unused")))
+    app = SVSWebApp(core)
+    port = app.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(b"POST /api/synthesize HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: -1\r\n\r\n")
+        s.settimeout(10)
+        line = s.makefile("rb").readline()
+        assert b"400" in line, line
+    finally:
+        app.stop()
