@@ -372,7 +372,21 @@ def hifigan_packed_apply(params: dict, cfg, mel: jnp.ndarray,
                 x = _mask_edges(x, p_cur, theta, t_cur)
 
         if p_cur == 1:
-            x = xla_mrf(x, i, ch)
+            if fuse_stages and ch <= 128:
+                # p=1 "fold" is the standard layout; the whole-scale kernel
+                # still wins in the overhead-bound single-stream regime (the
+                # C=128 MRF at B=1 measured 7.7 ms over a 1.4 ms roofline as
+                # 36 XLA convs). Branch tap mats at C=128 fit VMEM only in
+                # bf16; C=256 does not fit and stays XLA.
+                from diffsinger_tpu.ops.hifigan_packed_mrf import \
+                    fused_packed_stage
+
+                x = fused_packed_stage(
+                    x.astype(jnp.float32), params, i, nb=nb, ch=ch, p=1,
+                    theta=0, t=t_cur, kernel_sizes=ks, dilation_sets=ds,
+                    compute_dtype=dt)
+            else:
+                x = xla_mrf(x, i, ch)
         elif fuse_stages:
             # Pallas VMEM-fused folded stack: ~1 HBM read + 1 write for the
             # whole 18-conv scale instead of ~27 passes (hifigan_packed_mrf)

@@ -165,7 +165,8 @@ def _stage_params(rng, stage, c, ks, ns=3):
     return out
 
 
-@pytest.mark.parametrize("c,p,theta,t", [(32, 4, 1, 88), (64, 2, 0, 47)])
+@pytest.mark.parametrize("c,p,theta,t", [(32, 4, 1, 88), (64, 2, 0, 47),
+                                         (16, 1, 0, 53)])
 def test_fused_packed_stage_matches_xla(rng, c, p, theta, t):
     """The Pallas VMEM-fused folded MRF scale (ops/hifigan_packed_mrf.py)
     must equal the XLA folded stack bit-for-bit-ish (same matmuls, f32
@@ -249,4 +250,21 @@ def test_packed_fuse_auto_picks_by_batch_size(rng, monkeypatch):
     assert len(calls) == n_fused_b1, "auto fused at batch"
     # both paths agree on the waveform
     np.testing.assert_allclose(np.asarray(out8[0]), np.asarray(out1[0]),
+                               atol=3e-4)
+
+
+def test_packed_fuse_covers_p1_scale(rng):
+    """With fuse_stages on, a standard-layout (p=1) scale of <=128 channels
+    runs through the whole-scale kernel too (the B=1 C=128 MRF is
+    overhead-bound as 36 XLA convs); output must match the non-fused path."""
+    cfg = HifiGanConfig(upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+                        upsample_initial_channel=256,  # scales: 128 (p=1), 64
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 3),))
+    gen = HifiGanGenerator(cfg)
+    mel = jnp.asarray(rng.randn(1, 24, 80).astype(np.float32) * 0.3 - 2)
+    params = gen.init(jax.random.PRNGKey(0), mel)["params"]
+    plain = hifigan_packed_apply(params, cfg, mel, fuse_stages=False)
+    fused = hifigan_packed_apply(params, cfg, mel, fuse_stages=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
                                atol=3e-4)
